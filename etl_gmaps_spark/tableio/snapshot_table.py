@@ -1,0 +1,316 @@
+"""SnapshotTable — a from-scratch lake-table format on plain parquet.
+
+Iceberg-shaped semantics built from public primitives only (POSIX
+atomic rename + O_EXCL create + parquet), used because the sandbox has
+no iceberg-spark-runtime jar. The interface is the same one the
+IcebergTable impl exposes (tableio/iceberg_table.py), so swapping in a
+real Iceberg catalog is a constructor change.
+
+Layout:
+    <root>/meta/v{N}.json     snapshot metadata (O_EXCL create = the
+                              optimistic-concurrency commit gate)
+    <root>/meta/_current      pointer file, atomically renamed into place
+    <root>/meta/ckpt-{N}.parquet   per-partition checkpoint at snapshot N
+    <root>/data/s{N}/_bucket={b}/  data files written by snapshot N
+
+Scale design:
+  * rows are hash-bucketed on the merge key: ``pmod(xxhash64(key), B)``
+    — the analog of Iceberg's ``bucket(B, doc_id)`` partition transform
+    (FIXTURES.md #1). Every MERGE co-partitions source and target on
+    the same function, so the join never shuffles the un-touched data.
+  * copy-on-write at **bucket granularity**: a merge rewrites only the
+    buckets containing touched keys; untouched buckets are referenced
+    from the parent snapshot. A batch touching 1% of keys rewrites
+    ~1% of the table (with B sized so a bucket ≈ a few GB at target
+    scale), not 100%.
+  * commit = data files first, then snapshot json (O_EXCL — two racing
+    writers cannot both create v{N}.json), then pointer rename (atomic
+    on POSIX). A crash before the pointer flip leaves the table at the
+    parent snapshot and only orphans unreferenced files — the replay
+    driver re-applies the epoch idempotently.
+  * snapshot ``properties`` carry the commit-epoch ledger
+    (``epochs`` list + per-commit stats), mirroring the reference's
+    idempotent sink (ON CONFLICT DO NOTHING, postgres/resultwriter.go:83)
+    as Iceberg snapshot-summary metadata per the north rule.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+from dataclasses import dataclass
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+BUCKET_COL = "_bucket"
+
+
+class CommitConflict(Exception):
+    """Another writer committed this version first (O_EXCL lost the race)."""
+
+
+@dataclass
+class CommitResult:
+    version: int
+    snapshot_id: int
+    rows_written: int
+    buckets_rewritten: int
+    epoch: int | None
+
+
+def bucket_expr(key_col: str, n_buckets: int):
+    return F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_buckets)).cast("int")
+
+
+class SnapshotTable:
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        self.meta_dir = os.path.join(root, "meta")
+        self.data_dir = os.path.join(root, "data")
+
+    # ------------------------------------------------------------- meta
+    @classmethod
+    def create(
+        cls,
+        spark: SparkSession,
+        root: str,
+        schema: T.StructType,
+        key_col: str = "doc_id",
+        n_buckets: int = 16,
+        base_df: DataFrame | None = None,
+    ) -> "SnapshotTable":
+        t = cls(spark, root)
+        os.makedirs(t.meta_dir, exist_ok=True)
+        os.makedirs(t.data_dir, exist_ok=True)
+        files: dict[str, list[str]] = {}
+        if base_df is not None:
+            files = t._write_buckets(base_df, version=1, key_col=key_col, n_buckets=n_buckets)
+        snap = {
+            "version": 1,
+            "snapshot_id": 1,
+            "parent": None,
+            "schema": json.loads(schema.json()),
+            "key_col": key_col,
+            "n_buckets": n_buckets,
+            "files": files,
+            "properties": {"epochs": [], "commits": []},
+            "checkpoint_file": None,
+        }
+        t._commit_snapshot(snap)
+        return t
+
+    @classmethod
+    def exists(cls, root: str) -> bool:
+        return os.path.exists(os.path.join(root, "meta", "_current"))
+
+    def _current_version(self) -> int:
+        with open(os.path.join(self.meta_dir, "_current")) as fh:
+            return int(fh.read().strip())
+
+    def snapshot(self, version: int | None = None) -> dict[str, Any]:
+        v = version if version is not None else self._current_version()
+        with open(os.path.join(self.meta_dir, f"v{v}.json")) as fh:
+            return json.load(fh)
+
+    def _commit_snapshot(self, snap: dict[str, Any]) -> None:
+        v = snap["version"]
+        path = os.path.join(self.meta_dir, f"v{v}.json")
+        # O_EXCL: exactly one writer may create this version
+        try:
+            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError as exc:
+            raise CommitConflict(f"version {v} already committed") from exc
+        with os.fdopen(fd, "w") as fh:
+            json.dump(snap, fh)
+            fh.flush()
+            os.fsync(fh.fileno())
+        tmp = os.path.join(self.meta_dir, f"_current.tmp.{uuid.uuid4().hex}")
+        with open(tmp, "w") as fh:
+            fh.write(str(v))
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.rename(tmp, os.path.join(self.meta_dir, "_current"))  # atomic
+
+    # ------------------------------------------------------------- read
+    def schema(self) -> T.StructType:
+        return T.StructType.fromJson(self.snapshot()["schema"])
+
+    def properties(self) -> dict[str, Any]:
+        return self.snapshot()["properties"]
+
+    def applied_epochs(self) -> set[int]:
+        return set(self.properties().get("epochs", []))
+
+    def _all_files(self, snap: dict[str, Any]) -> list[str]:
+        return [f for flist in snap["files"].values() for f in flist]
+
+    def read(self, version: int | None = None) -> DataFrame:
+        snap = self.snapshot(version)
+        schema = T.StructType.fromJson(snap["schema"])
+        files = self._all_files(snap)
+        if not files:
+            return self.spark.createDataFrame([], schema)
+        df = self.spark.read.option("mergeSchema", "true").parquet(*files)
+        return _align(df, schema)
+
+    def read_buckets(self, buckets: list[int], version: int | None = None) -> DataFrame:
+        snap = self.snapshot(version)
+        schema = T.StructType.fromJson(snap["schema"])
+        files = [f for b in buckets for f in snap["files"].get(str(b), [])]
+        if not files:
+            return self.spark.createDataFrame([], schema)
+        return _align(self.spark.read.option("mergeSchema", "true").parquet(*files), schema)
+
+    def checkpoint(self, version: int | None = None) -> DataFrame | None:
+        snap = self.snapshot(version)
+        if not snap.get("checkpoint_file"):
+            return None
+        return self.spark.read.parquet(snap["checkpoint_file"])
+
+    # ------------------------------------------------------------ write
+    def _write_buckets(
+        self, df: DataFrame, version: int, key_col: str, n_buckets: int
+    ) -> dict[str, list[str]]:
+        """Write df hash-bucketed; one dir per bucket; return file map."""
+        out = os.path.join(self.data_dir, f"s{version}")
+        (
+            df.withColumn(BUCKET_COL, bucket_expr(key_col, n_buckets))
+            .repartition(F.col(BUCKET_COL))  # one shuffle, co-located by bucket
+            .write.partitionBy(BUCKET_COL)
+            .mode("overwrite")
+            .parquet(out)
+        )
+        files: dict[str, list[str]] = {}
+        for entry in os.listdir(out):
+            if not entry.startswith(f"{BUCKET_COL}="):
+                continue
+            b = str(int(entry.split("=", 1)[1]))
+            bdir = os.path.join(out, entry)
+            files[b] = sorted(
+                os.path.join(bdir, f) for f in os.listdir(bdir) if f.endswith(".parquet")
+            )
+        return files
+
+    def overwrite(self, df: DataFrame, properties_update: dict[str, Any] | None = None) -> CommitResult:
+        snap = self.snapshot()
+        v = snap["version"] + 1
+        files = self._write_buckets(df, v, snap["key_col"], snap["n_buckets"])
+        new = dict(snap)
+        new.update(
+            version=v,
+            snapshot_id=v,
+            parent=snap["version"],
+            files=files,
+            schema=json.loads(df.schema.json()),
+        )
+        if properties_update:
+            props = dict(snap["properties"])
+            props.update(properties_update)
+            new["properties"] = props
+        self._commit_snapshot(new)
+        n = sum(len(x) for x in files.values())
+        return CommitResult(v, v, -1, n, None)
+
+    def evolve_schema(self, new_fields: list[T.StructField]) -> T.StructType:
+        """Additive-only schema evolution (mirrors reference migrations
+        0001→0003 and the drift-tolerant load core_logic.py:473-480)."""
+        schema = self.schema()
+        existing = {f.name for f in schema.fields}
+        added = [f for f in new_fields if f.name not in existing]
+        if not added:
+            return schema
+        return T.StructType(schema.fields + added)
+
+    def merge(
+        self,
+        winners: DataFrame,
+        epoch: int | list[int] | None = None,
+        checkpoint_df: DataFrame | None = None,
+        op_col: str = "op",
+        extra_properties: dict[str, Any] | None = None,
+        stats: dict[str, Any] | None = None,
+    ) -> CommitResult:
+        """MERGE INTO: per-key upsert/delete, bucket-granular CoW.
+
+        ``winners`` must have unique keys (the LWW reduce guarantees
+        this — Iceberg MERGE has the same unique-source-key requirement)
+        and carry ``op_col`` ('I'/'U' upsert, 'D' delete) plus payload
+        columns. If ``epoch`` (one id or a group applied as one commit)
+        is already in the ledger the merge is a no-op (exactly-once
+        re-apply, reference resultwriter.go:83).
+        """
+        epochs = [] if epoch is None else ([epoch] if isinstance(epoch, int) else list(epoch))
+        snap = self.snapshot()
+        applied = set(snap["properties"].get("epochs", []))
+        if epochs and all(e in applied for e in epochs):
+            return CommitResult(snap["version"], snap["snapshot_id"], 0, 0, epochs[-1])
+
+        key_col, n_buckets = snap["key_col"], snap["n_buckets"]
+        schema = T.StructType.fromJson(snap["schema"])
+
+        # additive schema evolution: source columns the table lacks
+        payload_fields = [f for f in winners.schema.fields if f.name != op_col]
+        table_cols = {f.name for f in schema.fields}
+        new_fields = [f for f in payload_fields if f.name not in table_cols]
+        if new_fields:
+            schema = T.StructType(schema.fields + new_fields)
+
+        wb = winners.withColumn(BUCKET_COL, bucket_expr(key_col, n_buckets))
+        touched = [r[0] for r in wb.select(BUCKET_COL).distinct().collect()]
+
+        target = self.read_buckets(touched)
+        target = _align(target, schema)
+        upserts = _align(
+            wb.filter(F.col(op_col) != "D").drop(op_col, BUCKET_COL), schema
+        )
+        survivors = target.join(wb.select(key_col).distinct(), key_col, "left_anti")
+        merged = survivors.unionByName(upserts)
+
+        v = snap["version"] + 1
+        new_files = self._write_buckets(merged, v, key_col, n_buckets)
+        files = {b: fl for b, fl in snap["files"].items() if int(b) not in set(touched)}
+        for b in touched:
+            files[str(b)] = new_files.get(str(b), [])
+
+        props = dict(snap["properties"])
+        commit_info: dict[str, Any] = {"snapshot": v, **(stats or {})}
+        if epochs:
+            props["epochs"] = props.get("epochs", []) + epochs
+            commit_info["epochs"] = epochs
+        props["commits"] = props.get("commits", []) + [commit_info]
+        if extra_properties:
+            props.update(extra_properties)
+
+        ckpt_file = snap.get("checkpoint_file")
+        if checkpoint_df is not None:
+            ckpt_file = os.path.join(self.meta_dir, f"ckpt-{v}.parquet")
+            checkpoint_df.coalesce(1).write.mode("overwrite").parquet(ckpt_file)
+
+        new = {
+            "version": v,
+            "snapshot_id": v,
+            "parent": snap["version"],
+            "schema": json.loads(schema.json()),
+            "key_col": key_col,
+            "n_buckets": n_buckets,
+            "files": files,
+            "properties": props,
+            "checkpoint_file": ckpt_file,
+        }
+        self._commit_snapshot(new)
+        return CommitResult(v, v, -1, len(touched), epoch)
+
+
+def _align(df: DataFrame, schema: T.StructType) -> DataFrame:
+    """Project df onto schema; missing columns become typed nulls."""
+    have = {f.name for f in df.schema.fields}
+    cols = [
+        F.col(f.name).cast(f.dataType) if f.name in have else F.lit(None).cast(f.dataType).alias(f.name)
+        for f in schema.fields
+    ]
+    return df.select(*cols)
