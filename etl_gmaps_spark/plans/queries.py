@@ -1,0 +1,592 @@
+"""Query catalog: every operator exposed through __spark_entry__.
+
+Each entry pairs an idiomatic-Spark implementation with an ANSI-SQL
+oracle that DuckDB runs on the same parquet views. Column names, types
+and values must match exactly (the driver hashes values after sorting
+columns by name), so every computed column is aliased identically on
+both sides and floating-point outputs are rounded.
+
+Cross-engine determinism rules used throughout:
+  * randomness = 31-bit LCG arithmetic (same formula both sides);
+    never engine hash functions (xxhash64 != duckdb hash)
+  * md5 is the one shared cryptographic hash (identical everywhere)
+  * doubles are rounded before output; ties broken by a unique key
+SURVEY.md §2 operator ids are cited per query.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+LCG_A, LCG_C, LCG_M = 1103515245, 12345, 2_147_483_648
+VOCAB = 50257
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE: dict[str, str] = {}
+
+
+def register(name: str, sql: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLE[name] = sql
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _mix(col, salt: int):
+    """(x*A + C + salt*7919) % M, twice — matches the SQL _MIX macro."""
+    one = (col * LCG_A + (LCG_C + salt * 7919)) % LCG_M
+    return (one * LCG_A + (LCG_C + salt * 7919)) % LCG_M
+
+
+def _mix_sql(expr: str, salt: int) -> str:
+    c = LCG_C + salt * 7919
+    one = f"(({expr}) * {LCG_A} + {c}) % {LCG_M}"
+    return f"(({one}) * {LCG_A} + {c}) % {LCG_M}"
+
+
+# =====================================================================
+# CDC core (SURVEY.md A5/T7/W2): LWW over a change stream
+# =====================================================================
+
+
+@register(
+    "cdc_lww_replay",
+    """
+    WITH log AS (
+      SELECT user_id,
+             event_id AS lsn,
+             CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+             value
+      FROM events
+    ), w AS (
+      SELECT user_id, lsn, op, value,
+             row_number() OVER (PARTITION BY user_id ORDER BY lsn DESC) AS rn
+      FROM log
+    )
+    SELECT user_id, lsn AS last_lsn, round(value, 2) AS last_value
+    FROM w WHERE rn = 1 AND op <> 'D'
+    """,
+)
+def cdc_lww_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5: last-writer-wins final state of a change stream. The events
+    table is read as a binlog (event_id = lsn, user_id = key,
+    event_type 'error' = delete); per-key max-LSN winner via the same
+    max_by aggregate the engine's LWW reduce uses (operators/lww.py) —
+    partial-aggregated map-side, no window sort."""
+    ev = _t(spark, sf_dir, "events")
+    log = ev.select(
+        "user_id",
+        F.col("event_id").alias("lsn"),
+        F.when(F.col("event_type") == "error", F.lit("D")).otherwise(F.lit("U")).alias("op"),
+        "value",
+    )
+    w = log.groupBy("user_id").agg(
+        F.max_by(F.struct("lsn", "op", "value"), F.col("lsn")).alias("_w")
+    )
+    return (
+        w.filter(F.col("_w.op") != "D")
+        .select(
+            "user_id",
+            F.col("_w.lsn").alias("last_lsn"),
+            F.round(F.col("_w.value"), 2).alias("last_value"),
+        )
+    )
+
+
+@register(
+    "cdc_lww_tokens",
+    f"""
+    WITH ev AS (
+      SELECT d.doc_id,
+             d.doc_id * 5 + i.i AS lsn,
+             { _mix_sql('d.doc_id * 5 + i.i', 11) } AS m_op,
+             { _mix_sql('d.doc_id * 5 + i.i', 19) } AS m_pay,
+             d.source
+      FROM documents d CROSS JOIN (SELECT unnest(range(5)) AS i) i
+    ), payload AS (
+      SELECT doc_id, lsn, source,
+             CASE WHEN m_op % 10 < 2 THEN 'D' ELSE 'U' END AS op,
+             CAST(m_pay % 16 + 1 AS INT) AS n_tok,
+             m_pay
+      FROM ev
+    ), toks AS (
+      SELECT doc_id, lsn, op, source, n_tok,
+             CASE WHEN op = 'D' THEN NULL ELSE
+               list_sum(list_transform(range(1, n_tok + 1),
+                        j -> (m_pay + j * 104729) % {VOCAB}))
+             END AS tok_sum
+      FROM payload
+    ), w AS (
+      SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY lsn DESC) AS rn
+      FROM toks
+    )
+    SELECT format('doc-{{:08d}}', doc_id) AS doc_id,
+           n_tok, CAST(tok_sum AS BIGINT) AS tok_sum, source
+    FROM w WHERE rn = 1 AND op <> 'D'
+    """,
+)
+def cdc_lww_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 on the authoritative payload shape (BASELINE.json input_hint):
+    a synthetic tokens binlog derived from `documents` (5 mutations per
+    doc, LCG-deterministic op + token payload), reduced to the final
+    table. tokens are emitted as (n_tok, tok_sum) checksums so the
+    oracle hash is float-free and array-order-free."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    ev = docs.select(
+        "doc_id",
+        "source",
+        F.explode(F.sequence(F.lit(0), F.lit(4))).alias("i"),
+    ).select("doc_id", "source", (F.col("doc_id") * 5 + F.col("i")).alias("lsn"))
+    m_op = _mix(F.col("lsn"), 11)
+    m_pay = _mix(F.col("lsn"), 19)
+    p = ev.select(
+        "doc_id",
+        "lsn",
+        "source",
+        F.when(m_op % 10 < 2, F.lit("D")).otherwise(F.lit("U")).alias("op"),
+        (m_pay % 16 + 1).cast("int").alias("n_tok"),
+        m_pay.alias("m_pay"),
+    )
+    toks = p.withColumn(
+        "tok_sum",
+        F.when(F.col("op") == "D", F.lit(None).cast("long")).otherwise(
+            F.aggregate(
+                F.transform(
+                    F.sequence(F.lit(1), F.col("n_tok")),
+                    lambda j: (F.col("m_pay") + j.cast("long") * 104729) % VOCAB,
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            )
+        ),
+    )
+    w = toks.groupBy("doc_id").agg(
+        F.max_by(F.struct("op", "n_tok", "tok_sum", "source"), F.col("lsn")).alias("_w")
+    )
+    return (
+        w.filter(F.col("_w.op") != "D")
+        .select(
+            F.format_string("doc-%08d", F.col("doc_id")).alias("doc_id"),
+            F.col("_w.n_tok").alias("n_tok"),
+            F.col("_w.tok_sum").alias("tok_sum"),
+            F.col("_w.source").alias("source"),
+        )
+    )
+
+
+@register(
+    "replay_dedupe",
+    """
+    SELECT event_type, count(*) AS n, CAST(sum(event_id) AS BIGINT) AS id_sum
+    FROM (SELECT DISTINCT event_id, event_type
+          FROM (SELECT event_id, event_type FROM events
+                UNION ALL
+                SELECT event_id, event_type FROM events))
+    GROUP BY event_type
+    """,
+)
+def replay_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U2/T2: replayed-batch dedupe — the log unioned with a full replay
+    of itself collapses to one copy per lsn (mirrors ON CONFLICT DO
+    NOTHING, reference postgres/provider.go:108-111)."""
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type")
+    doubled = ev.unionAll(ev)
+    return (
+        doubled.dropDuplicates(["event_id"])
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("event_id").alias("id_sum"))
+    )
+
+
+# =====================================================================
+# Relational core (SURVEY.md A1/A4, J1-J3, W1-W3, O1-O3, U1-U3, P5-P10)
+# =====================================================================
+
+
+@register(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           count(*) AS n_rows
+    FROM lineitem
+    WHERE l_shipdate < TIMESTAMP '1998-09-01'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1/A4-class aggregation (TPC-H Q1 shape): filter pushed to the
+    parquet scan, partial agg map-side, two low-cardinality keys."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") < "1998-09-01")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+@register(
+    "anti_join_new_keys",
+    """
+    SELECT o.o_orderkey, round(o.o_totalprice, 2) AS o_totalprice
+    FROM orders o
+    WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
+    """,
+)
+def anti_join_new_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1/U3: the mother-table consolidation anti-join (reference
+    core_logic.py:273-274, pd.merge indicator keep left_only) — keys in
+    the batch not yet present in the consolidated table."""
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem").select("l_orderkey")
+    return o.join(l, o.o_orderkey == l.l_orderkey, "left_anti").select(
+        "o_orderkey", F.round("o_totalprice", 2).alias("o_totalprice")
+    )
+
+
+@register(
+    "semi_join_members",
+    """
+    SELECT c.c_mktsegment, count(*) AS n_customers
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY c.c_mktsegment
+    """,
+)
+def semi_join_members(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2: membership gate (the deduper AddIfNotExists set,
+    deduper/hashmap.go:16-42) as a left-semi join."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").select("o_custkey")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+@register(
+    "broadcast_enrich_region",
+    """
+    SELECT r.r_name, count(*) AS n_customers, round(avg(c.c_acctbal), 2) AS avg_acctbal
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+)
+def broadcast_enrich_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3: parent-metadata enrichment via explicit broadcast of the tiny
+    dims — zero shuffle of the fact side before aggregation."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.avg("c_acctbal"), 2).alias("avg_acctbal"),
+        )
+    )
+
+
+@register(
+    "summary_stats_by_source",
+    """
+    SELECT source, count(*) AS n_docs,
+           round(avg(n_chars), 2) AS avg_chars,
+           count(DISTINCT lang) AS n_langs
+    FROM documents GROUP BY source
+    """,
+)
+def summary_stats_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: the agent UI's mini-EDA (total prospects / counts by origin,
+    reference 0_AGENTE_GOSOM/README.md:84-90) over documents."""
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+        F.countDistinct("lang").alias("n_langs"),
+    )
+
+
+@register(
+    "top5_langs",
+    """
+    SELECT lang, count(*) AS n FROM documents
+    GROUP BY lang ORDER BY n DESC, lang LIMIT 5
+    """,
+)
+def top5_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: top-5 categories (reference app_streamlit.py:531-539) —
+    TakeOrderedAndProject, deterministic tiebreak on the key."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("lang"))
+        .limit(5)
+    )
+
+
+@register(
+    "chunk_assignment",
+    """
+    SELECT doc_id, lang,
+           CAST(floor((row_number() OVER (PARTITION BY lang ORDER BY doc_id) - 1) / 30)
+                AS BIGINT) AS id_chunk
+    FROM documents
+    """,
+)
+def chunk_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1: per-city chunk slicing (reference app_streamlit.py:289-412,
+    fixed chunks of 30 stamped onto the mother table) as
+    row_number over (partition by group order by key)."""
+    d = _t(spark, sf_dir, "documents")
+    w = W.partitionBy("lang").orderBy("doc_id")
+    return d.select(
+        "doc_id",
+        "lang",
+        F.floor((F.row_number().over(w) - 1) / 30).alias("id_chunk"),
+    )
+
+
+@register(
+    "topk_by_distance",
+    """
+    WITH pts AS (
+      SELECT c_custkey, c_name,
+             ({m_lat} % 1800000) / 10000.0 - 90.0 AS lat,
+             ({m_lon} % 3600000) / 10000.0 - 180.0 AS lon
+      FROM customer
+    ), d AS (
+      SELECT c_custkey, c_name,
+             2 * 6371.0 * asin(sqrt(
+               pow(sin(radians(lat - 40.0) / 2), 2) +
+               cos(radians(40.0)) * cos(radians(lat)) *
+               pow(sin(radians(lon - (-74.0)) / 2), 2))) AS dist
+      FROM pts
+    )
+    SELECT c_custkey, c_name, round(dist, 2) AS dist_km
+    FROM d WHERE dist <= 5000 ORDER BY round(dist, 2), c_custkey LIMIT 21
+    """.format(m_lat=_mix_sql("c_custkey", 3), m_lon=_mix_sql("c_custkey", 5)),
+)
+def topk_by_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3/F1/P7: haversine radius filter + distance top-k capped at 21
+    (reference gmaps/entry.go:98-123,647-681; fast-mode cap
+    README.md:84-85). Coordinates derived LCG-deterministically from
+    the key; whole expression stays in codegen (no UDF)."""
+    c = _t(spark, sf_dir, "customer")
+    lat = (_mix(F.col("c_custkey"), 3) % 1800000) / 10000.0 - 90.0
+    lon = (_mix(F.col("c_custkey"), 5) % 3600000) / 10000.0 - 180.0
+    dist = (
+        2
+        * 6371.0
+        * F.asin(
+            F.sqrt(
+                F.pow(F.sin(F.radians(lat - 40.0) / 2), 2)
+                + F.cos(F.radians(F.lit(40.0)))
+                * F.cos(F.radians(lat))
+                * F.pow(F.sin(F.radians(lon - (-74.0)) / 2), 2)
+            )
+        )
+    )
+    return (
+        c.select("c_custkey", "c_name", dist.alias("dist"))
+        .filter(F.col("dist") <= 5000)
+        .select("c_custkey", "c_name", F.round("dist", 2).alias("dist_km"))
+        .orderBy("dist_km", "c_custkey")
+        .limit(21)
+    )
+
+
+@register(
+    "cleaning_normalize",
+    """
+    SELECT doc_id,
+           CASE WHEN trim(lang) IN ('nan', 'None', '', '<NA>') THEN NULL
+                ELSE trim(lang) END AS lang_clean,
+           split_part(source, '_', 1) AS source_head,
+           CAST(n_chars AS DOUBLE) AS n_chars_d
+    FROM documents
+    """,
+)
+def cleaning_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P8/P9: NA normalization + first-of-split + numeric coercion
+    (reference core_logic.py:408-427,338-345)."""
+    d = _t(spark, sf_dir, "documents")
+    t = F.trim("lang")
+    return d.select(
+        "doc_id",
+        F.when(t.isin("nan", "None", "", "<NA>"), F.lit(None)).otherwise(t).alias("lang_clean"),
+        F.split("source", "_").getItem(0).alias("source_head"),
+        F.col("n_chars").cast("double").alias("n_chars_d"),
+    )
+
+
+@register(
+    "union_evolved_batches",
+    """
+    SELECT source, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars_sum,
+           count(lang) AS n_with_lang
+    FROM (
+      SELECT source, n_chars, NULL AS lang FROM documents WHERE doc_id % 2 = 0
+      UNION ALL BY NAME
+      SELECT lang, source, n_chars FROM documents WHERE doc_id % 2 = 1
+    )
+    GROUP BY source
+    """,
+)
+def union_evolved_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1: union of batches with drifted schemas —
+    unionByName(allowMissingColumns=True) is the schema-evolution hook
+    (reference app_streamlit.py:531-539 concat + core_logic.py:473-480
+    column-count tolerance)."""
+    d = _t(spark, sf_dir, "documents")
+    old_batch = d.filter(F.col("doc_id") % 2 == 0).select("source", "n_chars")  # no lang yet
+    new_batch = d.filter(F.col("doc_id") % 2 == 1).select("lang", "source", "n_chars")
+    u = old_batch.unionByName(new_batch, allowMissingColumns=True)
+    return u.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_chars").alias("chars_sum"),
+        F.count("lang").alias("n_with_lang"),
+    )
+
+
+# =====================================================================
+# Training-data pipeline ops: dedupe / text analysis (documents table)
+# =====================================================================
+
+
+@register(
+    "dedupe_exact",
+    """
+    SELECT md5(text) AS text_hash, count(*) AS n_copies,
+           min(doc_id) AS keep_doc_id
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def dedupe_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedupe: hash-groupBy on content, min-key canonical winner
+    (first-writer-wins of the reference deduper, inverted engine-side
+    to LWW for the CDC path)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy(F.md5("text").alias("text_hash")).agg(
+        F.count(F.lit(1)).alias("n_copies"), F.min("doc_id").alias("keep_doc_id")
+    )
+
+
+@register(
+    "token_counts",
+    """
+    SELECT source,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS ws_tokens,
+           CAST(sum(CAST(ceil(n_chars / 4.0) AS BIGINT)) AS BIGINT) AS bpe_est_tokens,
+           count(*) AS n_docs
+    FROM documents GROUP BY source
+    """,
+)
+def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + a chars/4 BPE estimate,
+    aggregated per source — the budget query of a training-data
+    pipeline."""
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy("source").agg(
+        F.sum(F.size(F.split("text", " "))).alias("ws_tokens"),
+        F.sum(F.ceil(F.col("n_chars") / 4.0)).alias("bpe_est_tokens"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+
+
+@register(
+    "quality_score",
+    """
+    WITH q AS (
+      SELECT doc_id,
+             len(string_split(text, ' ')) AS n_words,
+             n_chars,
+             len(string_split(text, ' the ')) - 1 AS n_stop
+      FROM documents
+    )
+    SELECT doc_id, n_words,
+           round(n_chars / CAST(n_words AS DOUBLE), 3) AS avg_word_len,
+           round(n_stop / CAST(n_words AS DOUBLE), 4) AS stopword_ratio,
+           CASE WHEN n_words BETWEEN 20 AND 1000
+                 AND n_chars / CAST(n_words AS DOUBLE) BETWEEN 3 AND 12
+                THEN 1 ELSE 0 END AS quality_ok
+    FROM q
+    """,
+)
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length/word-shape/stopword heuristics entirely in
+    codegen'd built-ins (no Python in the hot path)."""
+    d = _t(spark, sf_dir, "documents")
+    n_words = F.size(F.split("text", " ")).cast("long")  # match DuckDB len() width
+    n_stop = F.size(F.split("text", " the ")).cast("long") - 1
+    awl = F.col("n_chars") / n_words.cast("double")
+    return d.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        F.round(awl, 3).alias("avg_word_len"),
+        F.round(n_stop / n_words.cast("double"), 4).alias("stopword_ratio"),
+        F.when(n_words.between(20, 1000) & awl.between(3, 12), 1).otherwise(0).alias("quality_ok"),
+    )
+
+
+@register(
+    "lang_id_ngram",
+    """
+    WITH m AS (
+      SELECT doc_id, lang,
+             len(string_split(text, 'th')) - 1 AS f_th,
+             len(string_split(text, 'er')) - 1 AS f_er,
+             len(string_split(text, 'an')) - 1 AS f_an
+      FROM documents
+    )
+    SELECT doc_id, lang,
+           CASE WHEN f_th >= f_er AND f_th >= f_an THEN 'en'
+                WHEN f_er >= f_an THEN 'de' ELSE 'es' END AS lang_pred
+    FROM m
+    """,
+)
+def lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID by character-bigram frequency heuristic — the
+    mechanics of an n-gram langid entirely as string built-ins."""
+    d = _t(spark, sf_dir, "documents")
+    f_th = F.size(F.split("text", "th")) - 1
+    f_er = F.size(F.split("text", "er")) - 1
+    f_an = F.size(F.split("text", "an")) - 1
+    return d.select(
+        "doc_id",
+        "lang",
+        F.when((f_th >= f_er) & (f_th >= f_an), "en")
+        .when(f_er >= f_an, "de")
+        .otherwise("es")
+        .alias("lang_pred"),
+    )
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return dict(QUERIES)
+
+
+def oracle_sql() -> dict[str, str]:
+    return dict(ORACLE)
