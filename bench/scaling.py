@@ -1,0 +1,97 @@
+"""Two-cluster-size scaling evidence (BASELINE.md protocol).
+
+No real cluster exists in this sandbox, so the north rule's N→4N
+executor criterion is evidenced by running the identical CDC replay at
+two local parallelism levels (local[8] = N, local[32] = 4N, shuffle
+partitions scaled to match) on the same input, and reporting
+throughput at both plus efficiency = (T_4N / T_N) / 4.
+
+Each level runs in its own subprocess (fresh JVM — no warm-cache
+bleed). Results land in BENCH/BASELINE.md.
+
+Usage: python bench/scaling.py [n_events]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+from datetime import datetime, timezone
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_level(cpus: int, n_events: int) -> dict:
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_CPUS=str(cpus),
+        BENCH_EVENTS=str(n_events),
+        BENCH_SKIP_QUERIES="1",
+    )
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py")],
+        env=env,
+        capture_output=True,
+        text=True,
+        check=True,
+        cwd=REPO,
+    )
+    line = [ln for ln in out.stdout.strip().splitlines() if ln.startswith("{")][-1]
+    return json.loads(line)
+
+
+def main() -> None:
+    n_events = int(sys.argv[1]) if len(sys.argv) > 1 else int(os.environ.get("BENCH_EVENTS", "1000000"))
+    n, four_n = 8, 32
+    r_n = run_level(n, n_events)["replay"]
+    r_4n = run_level(four_n, n_events)["replay"]
+    tput_n = r_n["events_per_sec"]
+    tput_4n = r_4n["events_per_sec"]
+    eff = (tput_4n / tput_n) / (four_n / n)
+    report = {
+        "n_events": n_events,
+        "levels": {f"local[{n}]": r_n, f"local[{four_n}]": r_4n},
+        "throughput_N": tput_n,
+        "throughput_4N": tput_4n,
+        "scaling_efficiency": round(eff, 3),
+    }
+    print(json.dumps(report))
+
+    md = f"""# BENCH/BASELINE — scaling evidence (sandbox protocol)
+
+Generated {datetime.now(timezone.utc).isoformat(timespec='seconds')} by `python bench/scaling.py {n_events}`.
+
+The north rule requires throughput scaling efficiency >= 0.8 from N to
+4N executors. Per the sandbox protocol in /root/repo/BASELINE.md, the
+identical CDC replay job (synthetic binlog of {n_events:,} change
+events, {r_n['epochs']} epoch commits through LWW reduce + bucket-CoW
+MERGE + ledger + checkpoint) runs at two local parallelism levels in
+separate JVMs on the same input.
+
+| level | role | replay sec | events/sec | final rows |
+|---|---|---|---|---|
+| local[{n}], shuffle={n} | N | {r_n['replay_sec']} | {tput_n:,.0f} | {r_n['final_rows']:,} |
+| local[{four_n}], shuffle={four_n} | 4N | {r_4n['replay_sec']} | {tput_4n:,.0f} | {r_4n['final_rows']:,} |
+
+**Scaling efficiency = ({tput_4n:,.0f} / {tput_n:,.0f}) / 4 = {eff:.3f}**
+(target >= 0.8)
+
+Caveats: local mode shares one JVM heap and one disk for shuffle, so
+this under-reports true multi-executor scaling (no extra memory
+bandwidth or spindles arrive with the extra cores, unlike adding
+executor hosts). Per-epoch fixed costs (snapshot commit, checkpoint
+write, ledger read) are constant per batch by design and amortize with
+epoch size; at the 10^10-event target with >=10^8-event epochs they
+are noise.
+"""
+    out_path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    os.makedirs(os.path.dirname(out_path), exist_ok=True)
+    with open(out_path, "w") as fh:
+        fh.write(md)
+    print(f"wrote {out_path}")
+
+
+if __name__ == "__main__":
+    main()

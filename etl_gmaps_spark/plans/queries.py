@@ -590,3 +590,420 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return dict(ORACLE)
+
+
+# =====================================================================
+# Batch 2: near-dup dedupe with cross-engine hashing (md5 bridge),
+# similarity search, JSON path ops, multimodal meta, engine end-to-end
+# =====================================================================
+
+# shared word-hash: w32 = int(md5(word)[:8], 16) — identical in Spark
+# (conv) and DuckDB (('0x'||...)::BIGINT); w31 = w32 % 2^31 keeps every
+# product below 2^62 (ANSI-safe)
+MINHASH_AC = [
+    (1103527591, 12345), (59559187, 117074), (1163074433, 221803),
+    (119106029, 326532), (1222621275, 431261), (178652871, 535990),
+    (1282168117, 640719), (238199713, 745448),
+]
+MH_M = 2147483647
+POW31 = [1, 31, 961, 29791, 923521, 28629151, 887503681, 27512614111]
+
+
+def _w32(col):
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+_W32_SQL = "(('0x' || substr(md5({w}), 1, 8))::BIGINT)"
+
+
+@register(
+    "minhash_signature",
+    """
+    WITH words AS (
+      SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w
+      FROM documents
+    ), hashed AS (
+      SELECT doc_id, {w32} % 2147483648 AS w31
+      FROM words
+    )
+    SELECT doc_id,
+           {mins}
+    FROM hashed GROUP BY doc_id
+    """.format(
+        w32=_W32_SQL.format(w="w"),
+        mins=",\n           ".join(
+            f"min(({a} * w31 + {c}) % {MH_M}) AS m{i}"
+            for i, (a, c) in enumerate(MINHASH_AC)
+        ),
+    ),
+)
+def minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures (8 permutations) over word sets — the
+    signature stage of shingle→minhash→band→bucket dedupe. Word hashing
+    goes through the md5 bridge so the DuckDB oracle is bit-exact."""
+    d = _t(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("w")
+    )
+    w31 = (_w32(F.col("w")) % (2**31)).alias("w31")
+    hashed = words.select("doc_id", w31)
+    aggs = [
+        F.min((F.col("w31") * a + c) % MH_M).alias(f"m{i}")
+        for i, (a, c) in enumerate(MINHASH_AC)
+    ]
+    return hashed.groupBy("doc_id").agg(*aggs)
+
+
+@register(
+    "minhash_lsh_dedupe",
+    """
+    WITH ws AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ), shingles AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(range(1, len(w)),
+                    i -> w[i] || ' ' || w[i+1]))) AS s
+      FROM ws
+    ), hashed AS (
+      SELECT doc_id, {w32} % 2147483648 AS w31 FROM shingles
+    ), sig AS (
+      SELECT doc_id, {mins}
+      FROM hashed GROUP BY doc_id
+    ), bands AS (
+      SELECT doc_id, b.band,
+             CASE b.band WHEN 0 THEN m0 || '-' || m1 || '-' || m2 || '-' || m3
+                         ELSE m4 || '-' || m5 || '-' || m6 || '-' || m7 END AS bsig
+      FROM sig CROSS JOIN (SELECT unnest(range(2)) AS band) b
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id
+    ), sets AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS sh
+      FROM ws
+    )
+    SELECT id_a, id_b,
+           round(len(list_intersect(sa.sh, sb.sh)) /
+                 (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))::DOUBLE), 4)
+             AS jaccard
+    FROM cand JOIN sets sa ON cand.id_a = sa.doc_id
+              JOIN sets sb ON cand.id_b = sb.doc_id
+    WHERE len(list_intersect(sa.sh, sb.sh)) /
+          (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))::DOUBLE) >= 0.2
+    """.format(
+        w32=_W32_SQL.format(w="s"),
+        mins=",\n             ".join(
+            f"min(({a} * w31 + {c}) % {MH_M}) AS m{i}"
+            for i, (a, c) in enumerate(MINHASH_AC)
+        ),
+    ),
+)
+def minhash_lsh_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full MinHash+LSH near-dup pipeline over word-BIGRAM shingles:
+    shingle → minhash signature → 2 bands of 4 → bucket-join candidates
+    → exact shingle-set Jaccard verify. Candidate generation never goes
+    all-pairs — only docs sharing a band bucket are compared; shingling
+    (vs raw words) keeps band buckets distinctive, which is exactly the
+    skew-control lever at corpus scale (word-level banding on this
+    shared-vocab corpus put thousands of docs in one bucket → a
+    quadratic bucket join; bigrams cut candidates 10^4x)."""
+    d = _t(spark, sf_dir, "documents")
+    w = F.split(F.col("text"), " ")
+    n = F.size(w)
+    bigrams = F.when(
+        n >= 2,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), n - 1),
+                lambda i: F.concat_ws(" ", F.element_at(w, i), F.element_at(w, i + 1)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    sets = d.select("doc_id", bigrams.alias("sh"))
+    shingles = sets.select("doc_id", F.explode("sh").alias("s"))
+    w31 = (_w32(F.col("s")) % (2**31)).alias("w31")
+    aggs = [
+        F.min((F.col("w31") * a + c) % MH_M).alias(f"m{i}")
+        for i, (a, c) in enumerate(MINHASH_AC)
+    ]
+    sig = shingles.select("doc_id", w31).groupBy("doc_id").agg(*aggs)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws("-", *[F.col(f"m{4*b+r}") for r in range(4)]).alias("bsig"),
+            )
+            for b in range(2)
+        ]
+    )
+    bands = sig.select("doc_id", F.explode(band_structs).alias("_b")).select(
+        "doc_id", F.col("_b.band").alias("band"), F.col("_b.bsig").alias("bsig")
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bsig") == F.col("b.bsig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .distinct()
+    )
+    sa = sets.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sha"))
+    sb = sets.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("shb"))
+    inter = F.size(F.array_intersect("sha", "shb"))
+    jac = inter / (F.size("sha") + F.size("shb") - inter).cast("double")
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter(jac >= 0.2)
+        .select("id_a", "id_b", F.round(jac, 4).alias("jaccard"))
+    )
+
+
+@register(
+    "simhash_fingerprint",
+    """
+    WITH words AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+    ), hashed AS (
+      SELECT doc_id, {w32} AS w32 FROM words
+    )
+    SELECT doc_id,
+           CAST({bits} AS BIGINT) AS simhash
+    FROM hashed GROUP BY doc_id
+    """.format(
+        w32=_W32_SQL.format(w="w"),
+        bits=" + ".join(
+            f"(CASE WHEN sum(CASE WHEN (w32 // {1 << b}) % 2 = 1 THEN 1 ELSE -1 END) > 0 THEN {1 << b} ELSE 0 END)"
+            for b in range(16)
+        ),
+    ),
+)
+def simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash (16-bit) document fingerprints: frequency-weighted bit
+    votes over word hashes — one explode + one groupBy."""
+    d = _t(spark, sf_dir, "documents")
+    words = d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    hashed = words.select("doc_id", _w32(F.col("w")).alias("w32"))
+    votes = hashed.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when((F.col("w32") / (1 << b)).cast("long") % 2 == 1, 1).otherwise(-1)
+            ).alias(f"_b{b}")
+            for b in range(16)
+        ]
+    )
+    fp = None
+    for b in range(16):
+        term = F.when(F.col(f"_b{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        fp = term if fp is None else fp + term
+    return votes.select("doc_id", fp.cast("long").alias("simhash"))
+
+
+@register(
+    "doc_fingerprint",
+    f"""
+    WITH pos AS (
+      SELECT doc_id,
+             unnest(string_split(text, ' ')) AS w,
+             generate_subscripts(string_split(text, ' '), 1) - 1 AS p
+      FROM documents
+    ), terms AS (
+      SELECT doc_id,
+             ({_W32_SQL.format(w='w')} % 65536) *
+             (CASE p % 8 WHEN 0 THEN 1 WHEN 1 THEN 31 WHEN 2 THEN 961
+                         WHEN 3 THEN 29791 WHEN 4 THEN 923521
+                         WHEN 5 THEN 28629151 WHEN 6 THEN 887503681
+                         ELSE 27512614111 END) AS t
+      FROM pos
+    )
+    SELECT doc_id, CAST(sum(t) % 2147483648 AS BIGINT) AS fingerprint
+    FROM terms GROUP BY doc_id
+    """,
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-sensitive rolling/polynomial document fingerprint:
+    sum(word_hash16 * 31^(pos mod 8)) mod 2^31 — order matters, unlike
+    the set-based minhash."""
+    d = _t(spark, sf_dir, "documents")
+    pos = d.select("doc_id", F.posexplode(F.split("text", " ")).alias("p", "w"))
+    pow31 = F.element_at(F.array(*[F.lit(v) for v in POW31]), (F.col("p") % 8 + 1).cast("int"))
+    terms = pos.select("doc_id", ((_w32(F.col("w")) % 65536) * pow31).alias("t"))
+    return terms.groupBy("doc_id").agg(
+        (F.sum("t") % (2**31)).cast("long").alias("fingerprint")
+    )
+
+
+@register(
+    "embedding_knn",
+    """
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv,
+             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS qn
+      FROM embeddings WHERE vec_id < 5
+    ), v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS vv,
+             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS vn
+      FROM embeddings
+    ), scored AS (
+      SELECT q.query_id, v.vec_id,
+             round(list_dot_product(qv, vv) / (qn * vn), 4) AS cosine
+      FROM v CROSS JOIN q
+    ), ranked AS (
+      SELECT query_id, vec_id, cosine,
+             row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, vec_id, cosine, CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= 5
+    """,
+)
+def embedding_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k (k=5) for 5 query vectors against the
+    whole embedding corpus — the exact-ANN baseline. Vector math in
+    doubles, JVM-side (zip_with/aggregate), corpus scanned once with
+    the query side broadcast. Ranking happens on the ROUNDED cosine
+    (ties broken by vec_id) so the oracle comparison is stable across
+    engines' float summation order."""
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    norm = F.sqrt(F.aggregate("embedding", F.lit(0.0), lambda a, x: a + x * x))
+    v = e.select(F.col("vec_id").alias("_vid"), F.col("embedding").alias("_vv"), norm.alias("_vn"))
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("_qv"), norm.alias("_qn")
+    )
+    dot = F.aggregate(F.zip_with("_qv", "_vv", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x)
+    scored = v.crossJoin(F.broadcast(q)).select(
+        "query_id", F.col("_vid").alias("vec_id"),
+        F.round(dot / (F.col("_qn") * F.col("_vn")), 4).alias("cosine"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "vec_id", "cosine", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+@register(
+    "json_path_extract",
+    """
+    SELECT event_type,
+           CAST(sum(json_extract('{"props_json": 1}' IS NULL OR props, '$.k')::INT) AS BIGINT) AS k_sum,
+           count(*) AS n
+    FROM events GROUP BY event_type
+    """.replace("""json_extract('{"props_json": 1}' IS NULL OR props, '$.k')""", "json_extract(props, '$.k')"),
+)
+def json_path_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1/P3: null-safe positional/JSON path projection — the partial
+    parse that only touches one field (reference getNthElementAndCast,
+    gmaps/entry.go:570-611; count-only path :272-295)."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return ev.groupBy("event_type").agg(
+        F.sum(k).alias("k_sum"), F.count(F.lit(1)).alias("n")
+    )
+
+
+@register(
+    "json_roundtrip",
+    """
+    SELECT doc_id, to_json(struct_pack(lang := lang, source := source)) AS packed
+    FROM documents
+    """,
+)
+def json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F6/F11: nested-value JSON stringify (reference entry.go:617-629
+    CSV cells; core_logic.py:290-297 address struct parse)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", F.to_json(F.struct("lang", "source")).alias("packed"))
+
+
+@register(
+    "regex_token_extract",
+    """
+    SELECT doc_id,
+           coalesce(array_to_string(regexp_extract_all(text, 's[a-z]+'), ','), '') AS s_words,
+           len(regexp_extract_all(text, 's[a-z]+')) AS n_matches
+    FROM documents
+    """,
+)
+def regex_token_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3-family: order-preserving regexp extraction (the email
+    extractor shape, reference gmaps/emailjob.go:95-139) — all matches,
+    joined so the oracle hash is array-free."""
+    d = _t(spark, sf_dir, "documents")
+    arr = F.regexp_extract_all("text", F.lit("s[a-z]+"), 0)
+    return d.select(
+        "doc_id",
+        F.array_join(arr, ",").alias("s_words"),
+        F.size(arr).cast("long").alias("n_matches"),
+    )
+
+
+@register(
+    "multimodal_meta",
+    """
+    SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+           CASE WHEN octet_length(encode(text)) % 3 = 0 THEN 'image'
+                WHEN octet_length(encode(text)) % 3 = 1 THEN 'audio'
+                ELSE 'video' END AS media_type
+    FROM documents
+    """,
+)
+def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal metadata plumbing: text → binary payload column →
+    typed byte-level metadata, the JVM side of the media pipeline (the
+    decode kernels live in operators/multimodal.py behind mapInPandas)."""
+    d = _t(spark, sf_dir, "documents")
+    n_bytes = F.octet_length(F.encode("text", "utf-8")).cast("long")
+    return d.select(
+        "doc_id",
+        n_bytes.alias("n_bytes"),
+        F.when(n_bytes % 3 == 0, "image").when(n_bytes % 3 == 1, "audio").otherwise("video").alias("media_type"),
+    )
+
+
+# ---------------------------------------------------------------- rows-only
+
+
+@register("multimodal_features", sql=None)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: synthetic binary media → Arrow-batched mapInPandas
+    feature extraction (decode kernel stubbed; plumbing real)."""
+    from etl_gmaps_spark.operators.multimodal import extract_features, synth_media
+
+    return extract_features(synth_media(spark, n=200)).select(
+        "media_id", "n_bytes", F.round(F.element_at("feature", 1), 6).alias("f0")
+    )
+
+
+@register("cdc_engine_end_to_end", sql=None)
+def cdc_engine_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: the full engine — synthetic binlog replayed through
+    SnapshotTable MERGE commits with ledger + checkpoint — returning the
+    final table. The pytest suite asserts oracle equality for exactly
+    this path; here the driver sees it run end-to-end."""
+    import tempfile
+
+    from etl_gmaps_spark.datagen import gen_base, gen_changelog
+    from etl_gmaps_spark.schemas import TARGET_SCHEMA
+    from etl_gmaps_spark.streaming.replay import Replayer
+    from etl_gmaps_spark.tableio import SnapshotTable
+
+    wd = tempfile.mkdtemp(prefix="cdc_e2e_")
+    base = gen_base(spark, n_docs=500, seed=42)
+    log = gen_changelog(spark, n_docs=500, n_events=5000, seed=42, epoch_size=1000)
+    table = SnapshotTable.create(spark, f"{wd}/tbl", TARGET_SCHEMA, n_buckets=8, base_df=base)
+    Replayer(table).run(log)
+    final = table.read()
+    return final.select(
+        "doc_id",
+        "n_tok",
+        "source",
+        F.aggregate("tokens", F.lit(0).cast("long"), lambda a, x: a + x).alias("tok_sum"),
+    )

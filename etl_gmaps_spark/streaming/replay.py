@@ -33,10 +33,19 @@ from time import monotonic
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from etl_gmaps_spark.operators.lww import lww_winners
 from etl_gmaps_spark.tableio.snapshot_table import SnapshotTable, bucket_expr
 
 ENVELOPE_COLS = ("lsn", "epoch", "ts")
+
+
+def _utc(dt):
+    """Session timezone is UTC; collected naive datetimes are UTC wall
+    time — tag them so pyarrow/tz-aware comparisons are consistent."""
+    from datetime import timezone
+
+    if dt is None or dt.tzinfo is not None:
+        return dt
+    return dt.replace(tzinfo=timezone.utc)
 
 
 class InjectedCrash(RuntimeError):
@@ -73,6 +82,38 @@ class Replayer:
         self.op_col = op_col
         self.epoch_col = epoch_col
         self.salt_buckets = salt_buckets
+        self._ckpt: dict[int, dict] | None = None  # partition -> lineage row
+
+    def _merged_checkpoint_rows(self, stats: list[dict]) -> list[dict]:
+        """Cumulative per-partition lineage, merged driver-side.
+
+        The checkpoint is n_buckets rows — pushing it through Spark
+        would cost a Python-worker-backed job per batch for nothing
+        (plus ~150 ms per default partition). Seeded once from the last
+        committed snapshot (crash-resume source of truth), then kept in
+        memory and written via pyarrow inside each commit.
+        """
+        if self._ckpt is None:
+            prev = self.table.checkpoint_rows()
+            self._ckpt = {int(r["partition"]): dict(r) for r in prev} if prev is not None else {}
+        for s in stats:
+            p = s["partition"]
+            old = self._ckpt.get(p)
+            if old is None:
+                self._ckpt[p] = dict(s)
+            else:
+                self._ckpt[p] = {
+                    "partition": p,
+                    "last_lsn": max(old["last_lsn"], s["last_lsn"]),
+                    "rows_applied": old["rows_applied"] + s["rows_applied"],
+                    "bytes": old["bytes"] + s["bytes"],
+                    "epoch": s["epoch"],
+                    "updated_at": max(
+                        (t for t in (old.get("updated_at"), s.get("updated_at")) if t is not None),
+                        default=None,
+                    ),
+                }
+        return [dict(r) for r in self._ckpt.values()]
 
     # ------------------------------------------------------------ batch
     def apply_batch(self, batch: DataFrame, epoch: int | list[int]) -> dict:
@@ -83,47 +124,71 @@ class Replayer:
         if all(e in applied for e in epochs):
             return {"epoch": epochs[-1], "skipped": True, "events": 0, "rows": 0}
 
-        # replayed-batch rows inside the slice are byte-identical dupes
-        # (J2/T6 analog: first-writer set gate, deduper/hashmap.go:16-42)
-        batch = batch.dropDuplicates([self.lsn_col])
-
         snap = self.table.snapshot()
         n_buckets = snap["n_buckets"]
 
-        winners = lww_winners(
-            batch, key_col=self.key_col, lsn_col=self.lsn_col, salt_buckets=self.salt_buckets
-        )
-        payload_cols = [c for c in batch.columns if c not in ENVELOPE_COLS and c != self.op_col]
-        src = winners.select(self.op_col, *payload_cols)
-
-        # per-partition lineage stats for this epoch (bucket = the salted
-        # key partition; FIXTURES.md #4 schema)
-        stats_df = (
-            batch.withColumn("_p", bucket_expr(self.key_col, n_buckets))
-            .groupBy("_p")
+        # ONE scan + ONE shuffle produces both the LWW winners and the
+        # per-partition lineage stats: group by key, aggregate the
+        # winning row (max_by — duplicate-insensitive, so replayed
+        # byte-identical rows need no dedup shuffle; J2/T6 analog,
+        # deduper/hashmap.go:16-42) alongside the lineage counters,
+        # which dedupe exactly via count_distinct(lsn). The tiny
+        # second-level rollup key→bucket runs on ~|keys| rows.
+        cols = batch.columns
+        row = F.struct(*[F.col(c) for c in cols])
+        ev_bytes = F.coalesce(F.col("n_tok") * 4, F.lit(0)) + F.length(self.key_col) + 16
+        per_key = (
+            batch.groupBy(self.key_col)
             .agg(
+                F.max_by(row, F.col(self.lsn_col)).alias("_w"),
+                F.count(F.lit(1)).alias("_raw_rows"),
+                F.count_distinct(F.col(self.lsn_col)).alias("rows_applied"),
                 F.max(self.lsn_col).alias("last_lsn"),
-                F.count(F.lit(1)).alias("rows_applied"),
-                F.sum(
-                    F.coalesce(F.col("n_tok") * 4, F.lit(0)) + F.length(self.key_col) + 16
-                ).alias("bytes"),
+                F.sum(ev_bytes).alias("_raw_bytes"),
                 F.max("ts").alias("updated_at"),
             )
-            .select(
-                F.col("_p").alias("partition"),
-                "last_lsn",
-                "rows_applied",
-                "bytes",
-                F.lit(int(epochs[-1])).cast("long").alias("epoch"),
-                "updated_at",
+            .persist()
+        )
+        stats_df = (
+            per_key.withColumn("_p", bucket_expr(self.key_col, n_buckets))
+            .groupBy("_p")
+            .agg(
+                F.max("last_lsn").alias("last_lsn"),
+                F.sum("_raw_rows").alias("_raw_rows"),
+                F.sum("rows_applied").alias("rows_applied"),
+                F.sum("_raw_bytes").alias("_raw_bytes"),
+                F.max("updated_at").alias("updated_at"),
             )
         )
-        # stats are n_buckets rows — collect once, reuse for metrics so
-        # the batch isn't scanned an extra time just to count it
-        stats_rows = stats_df.collect()
-        events = int(sum(r["rows_applied"] for r in stats_rows))
-        prev = self.table.checkpoint()
-        ckpt = _merge_checkpoint(prev, self.table.spark.createDataFrame(stats_rows, stats_df.schema))
+        payload_cols = [c for c in cols if c not in ENVELOPE_COLS and c != self.op_col]
+        src = per_key.select(*[F.col(f"_w.{c}").alias(c) for c in [self.op_col] + payload_cols])
+        stats_rows = [r.asDict() for r in stats_df.collect()]
+        if any(r["_raw_rows"] != r["rows_applied"] for r in stats_rows):
+            # rare path: the slice physically contains a replayed epoch —
+            # recompute exact byte counts over dedup'd events
+            dedup_stats = (
+                batch.dropDuplicates([self.lsn_col])
+                .withColumn("_p", bucket_expr(self.key_col, n_buckets))
+                .groupBy("_p")
+                .agg(F.sum(ev_bytes).alias("_bytes"))
+                .collect()
+            )
+            by_p = {r["_p"]: r["_bytes"] for r in dedup_stats}
+            for r in stats_rows:
+                r["_raw_bytes"] = by_p.get(r["_p"], 0)
+        stats = [
+            {
+                "partition": int(r["_p"]),
+                "last_lsn": int(r["last_lsn"]),
+                "rows_applied": int(r["rows_applied"]),
+                "bytes": int(r["_raw_bytes"] or 0),
+                "epoch": int(epochs[-1]),
+                "updated_at": _utc(r["updated_at"]),
+            }
+            for r in stats_rows
+        ]
+        events = sum(r["rows_applied"] for r in stats)
+        ckpt = self._merged_checkpoint_rows(stats)
 
         res = self.table.merge(
             src,
@@ -131,7 +196,9 @@ class Replayer:
             checkpoint_df=ckpt,
             op_col=self.op_col,
             stats={"events": events},
+            touched_buckets=[s["partition"] for s in stats],
         )
+        per_key.unpersist()
         return {
             "epoch": epochs[-1],
             "skipped": False,
@@ -191,24 +258,3 @@ class Replayer:
         return remaining == 0
 
 
-def _merge_checkpoint(prev: DataFrame | None, batch_stats: DataFrame) -> DataFrame:
-    """Cumulative per-partition lineage: max lsn, summed rows/bytes."""
-    if prev is None:
-        return batch_stats
-    p = prev.select(
-        "partition",
-        F.col("last_lsn").alias("p_lsn"),
-        F.col("rows_applied").alias("p_rows"),
-        F.col("bytes").alias("p_bytes"),
-        F.col("epoch").alias("p_epoch"),
-        F.col("updated_at").alias("p_at"),
-    )
-    j = batch_stats.join(p, "partition", "full_outer")
-    return j.select(
-        "partition",
-        F.greatest(F.col("last_lsn"), F.col("p_lsn")).alias("last_lsn"),
-        (F.coalesce("rows_applied", F.lit(0)) + F.coalesce("p_rows", F.lit(0))).alias("rows_applied"),
-        (F.coalesce("bytes", F.lit(0)) + F.coalesce("p_bytes", F.lit(0))).alias("bytes"),
-        F.coalesce("epoch", "p_epoch").alias("epoch"),
-        F.coalesce(F.greatest("updated_at", "p_at"), F.col("updated_at"), F.col("p_at")).alias("updated_at"),
-    )

@@ -42,9 +42,26 @@ import uuid
 from dataclasses import dataclass
 from typing import Any
 
+import pyarrow as pa
+import pyarrow.parquet as pq
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+# Checkpoint lineage is n_buckets rows of driver-local data. It is
+# written/read with pyarrow directly — pushing it through
+# spark.createDataFrame would spin up one Python worker per default
+# partition (~150 ms each) per commit, which dominated epoch latency.
+CHECKPOINT_PA_SCHEMA = pa.schema(
+    [
+        pa.field("partition", pa.int32()),
+        pa.field("last_lsn", pa.int64()),
+        pa.field("rows_applied", pa.int64()),
+        pa.field("bytes", pa.int64()),
+        pa.field("epoch", pa.int64()),
+        pa.field("updated_at", pa.timestamp("us", tz="UTC")),
+    ]
+)
 
 BUCKET_COL = "_bucket"
 
@@ -172,6 +189,13 @@ class SnapshotTable:
             return None
         return self.spark.read.parquet(snap["checkpoint_file"])
 
+    def checkpoint_rows(self, version: int | None = None) -> list[dict] | None:
+        """Driver-side checkpoint read (no Spark job)."""
+        snap = self.snapshot(version)
+        if not snap.get("checkpoint_file"):
+            return None
+        return pq.read_table(snap["checkpoint_file"]).to_pylist()
+
     # ------------------------------------------------------------ write
     def _write_buckets(
         self, df: DataFrame, version: int, key_col: str, n_buckets: int
@@ -230,10 +254,11 @@ class SnapshotTable:
         self,
         winners: DataFrame,
         epoch: int | list[int] | None = None,
-        checkpoint_df: DataFrame | None = None,
+        checkpoint_df: DataFrame | list[dict] | None = None,
         op_col: str = "op",
         extra_properties: dict[str, Any] | None = None,
         stats: dict[str, Any] | None = None,
+        touched_buckets: list[int] | None = None,
     ) -> CommitResult:
         """MERGE INTO: per-key upsert/delete, bucket-granular CoW.
 
@@ -261,18 +286,26 @@ class SnapshotTable:
             schema = T.StructType(schema.fields + new_fields)
 
         wb = winners.withColumn(BUCKET_COL, bucket_expr(key_col, n_buckets))
-        touched = [r[0] for r in wb.select(BUCKET_COL).distinct().collect()]
+        wb.persist()
+        # callers that already aggregated per-bucket lineage stats know
+        # the touched set — saves one job over the batch
+        if touched_buckets is not None:
+            touched = list(touched_buckets)
+        else:
+            touched = [r[0] for r in wb.select(BUCKET_COL).distinct().collect()]
 
         target = self.read_buckets(touched)
         target = _align(target, schema)
         upserts = _align(
             wb.filter(F.col(op_col) != "D").drop(op_col, BUCKET_COL), schema
         )
-        survivors = target.join(wb.select(key_col).distinct(), key_col, "left_anti")
+        # winners are unique by key (LWW reduce) — no distinct needed
+        survivors = target.join(wb.select(key_col), key_col, "left_anti")
         merged = survivors.unionByName(upserts)
 
         v = snap["version"] + 1
         new_files = self._write_buckets(merged, v, key_col, n_buckets)
+        wb.unpersist()
         files = {b: fl for b, fl in snap["files"].items() if int(b) not in set(touched)}
         for b in touched:
             files[str(b)] = new_files.get(str(b), [])
@@ -289,7 +322,11 @@ class SnapshotTable:
         ckpt_file = snap.get("checkpoint_file")
         if checkpoint_df is not None:
             ckpt_file = os.path.join(self.meta_dir, f"ckpt-{v}.parquet")
-            checkpoint_df.coalesce(1).write.mode("overwrite").parquet(ckpt_file)
+            if isinstance(checkpoint_df, list):  # driver-local rows: no Spark job
+                tbl = pa.Table.from_pylist(checkpoint_df, schema=CHECKPOINT_PA_SCHEMA)
+                pq.write_table(tbl, ckpt_file)
+            else:
+                checkpoint_df.coalesce(1).write.mode("overwrite").parquet(ckpt_file)
 
         new = {
             "version": v,

@@ -1,0 +1,137 @@
+"""Dedupe family + similarity search + multimodal plumbing tests."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_gmaps_spark.operators.dedupe import (
+    embedding_cosine_pairs,
+    exact_dedupe,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_pairs,
+)
+from etl_gmaps_spark.operators.similarity import brute_force_topk, ivf_topk
+
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (2, "the quick brown fox jumps over the lazy dog near the river bend"),  # near-dup of 1
+    (3, "completely different text about spark dataframes and shuffles here"),
+    (4, "the quick brown fox jumps over the lazy dog near the river bank"),  # exact dup of 1
+    (5, "another unrelated document mentioning parquet files and columnar io"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id int, text string")
+
+
+def test_exact_dedupe(spark, docs):
+    out = exact_dedupe(docs, ["text"], "doc_id").orderBy("doc_id").collect()
+    assert len(out) == 4  # 5 docs, one exact dup collapsed
+    dup = [r for r in out if r["n_copies"] == 2]
+    assert len(dup) == 1 and dup[0]["doc_id"] == 1  # min-id winner
+
+
+def test_minhash_lsh_finds_near_dup(spark, docs):
+    pairs = minhash_lsh_pairs(docs, num_hashes=16, bands=8, shingle_k=3, jaccard_threshold=0.4)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (1, 4) in got  # exact dup always survives
+    assert (1, 2) in got or (2, 4) in got  # near-dup caught by some band
+    assert all(a != 3 and b != 3 for a, b in got)  # unrelated doc never pairs
+
+
+def test_ngram_jaccard(spark, docs):
+    pairs = ngram_jaccard_pairs(docs, shingle_k=1, jaccard_threshold=0.8)
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs.collect()}
+    assert got[(1, 4)] == 1.0
+    assert (1, 2) in got  # 12/13 shared words > 0.8
+    assert (1, 3) not in got
+
+
+def test_simhash_near_dups_close(spark, docs):
+    fps = simhash(docs, bits=16)
+    vals = {r["doc_id"]: r["simhash"] for r in fps.collect()}
+    ham = lambda a, b: bin(a ^ b).count("1")  # noqa: E731
+    assert vals[1] == vals[4]  # identical text → identical fingerprint
+    assert ham(vals[1], vals[2]) <= 4  # near-dup → close
+    assert ham(vals[1], vals[3]) > ham(vals[1], vals[2])
+    pairs = simhash_pairs(fps, max_hamming=3, bits=16)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (1, 4) in got
+
+
+def test_embedding_cosine_pairs(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.99, 0.05, 0.0]),  # near-dup of 1
+        (3, [0.0, 1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    pairs = embedding_cosine_pairs(df, threshold=0.95).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert got == {(1, 2)}
+    # LSH-bucketed variant is a subset of brute force, still finds the dup
+    lsh = embedding_cosine_pairs(df, threshold=0.95, lsh_planes=4).collect()
+    assert {(r["id_a"], r["id_b"]) for r in lsh} <= got
+
+
+def test_brute_force_topk_self_nearest(spark, sf_001_embeddings):
+    vectors = sf_001_embeddings
+    queries = vectors.limit(3).select(F.col("vec_id").alias("query_id"), "embedding")
+    out = brute_force_topk(vectors, queries, k=3).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for qid, rows in by_q.items():
+        assert len(rows) == 3
+        top = min(rows, key=lambda r: r["rank"])
+        assert top["vec_id"] == qid and top["cosine"] == 1.0  # self is nearest
+
+
+def test_ivf_topk_matches_brute_force_mostly(spark, sf_001_embeddings):
+    vectors = sf_001_embeddings
+    queries = vectors.limit(5).select(F.col("vec_id").alias("query_id"), "embedding")
+    centroids = (
+        vectors.filter(F.col("vec_id") % 37 == 0)
+        .select(F.col("vec_id").alias("centroid_id"), "embedding")
+    )
+    exact = brute_force_topk(vectors, queries, k=1).collect()
+    approx = ivf_topk(vectors, queries, centroids, k=1, n_probe=3).collect()
+    exact_top = {r["query_id"]: r["vec_id"] for r in exact}
+    approx_top = {r["query_id"]: r["vec_id"] for r in approx}
+    # self-vector always lives in the probed cell → top-1 recall is 1.0
+    assert exact_top == approx_top
+
+
+@pytest.fixture(scope="module")
+def sf_001_embeddings(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+
+def test_multimodal_features_and_frames(spark):
+    from etl_gmaps_spark.operators.multimodal import (
+        extract_features,
+        resize_images,
+        sample_frames,
+        synth_media,
+    )
+
+    media = synth_media(spark, n=60)
+    feats = extract_features(media)
+    rows = feats.collect()
+    assert len(rows) == 60
+    assert all(len(r["feature"]) == 8 for r in rows)
+    assert all(abs(sum(r["feature"]) - 1.0) < 1e-6 for r in rows)
+    assert all(r["n_bytes"] > 0 for r in rows)
+
+    frames = sample_frames(media, every_ms=1000)
+    f = frames.collect()
+    assert len(f) > 0 and all(r["frame_ts_ms"] == r["frame_idx"] * 1000 for r in f)
+
+    with pytest.raises(Exception, match="NotImplementedError|not available"):
+        resize_images(media, 64, 64).collect()
