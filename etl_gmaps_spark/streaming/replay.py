@@ -161,7 +161,12 @@ class Replayer:
             )
         )
         payload_cols = [c for c in cols if c not in ENVELOPE_COLS and c != self.op_col]
-        src = per_key.select(*[F.col(f"_w.{c}").alias(c) for c in [self.op_col] + payload_cols])
+        src = per_key.select(
+            *[
+                F.col(f"_w.{c}").alias(c)
+                for c in [self.op_col, self.lsn_col] + payload_cols
+            ]
+        )
         stats_rows = [r.asDict() for r in stats_df.collect()]
         if any(r["_raw_rows"] != r["rows_applied"] for r in stats_rows):
             # rare path: the slice physically contains a replayed epoch —
@@ -195,6 +200,7 @@ class Replayer:
             epoch=epochs,
             checkpoint_df=ckpt,
             op_col=self.op_col,
+            lsn_col=self.lsn_col,
             stats={"events": events},
             touched_buckets=[s["partition"] for s in stats],
         )

@@ -1,0 +1,71 @@
+"""Structured-Streaming replay: the change log as a real stream.
+
+The batch Replayer (replay.py) drives bounded replays; this module runs
+the same exactly-once apply as a Structured Streaming sink:
+
+    readStream(log dir) → foreachBatch(apply) → availableNow / continuous
+
+foreachBatch is the engine's pluggable sink hook (SURVEY.md X1 — the
+reference's ResultWriter plugin loaded by symbol, runner/jobs.go:133-169,
+reduced to a (batch_df, batch_id) callable). Exactly-once still comes
+from the table's epoch ledger, NOT from Spark's checkpoint alone: a
+replayed micro-batch (e.g. after checkpoint loss) is skipped by ledger
+lookup, mirroring ON CONFLICT DO NOTHING (postgres/provider.go:108-111).
+
+Micro-batches may slice the log arbitrarily (one epoch can span many
+batches and vice versa), so batch-level ledger keys cannot be exactly-
+once by themselves. Correctness instead rests on the table's ROW-LEVEL
+LWW guard (_lsn + tombstones, tableio/snapshot_table.py): re-applying
+any stale, duplicate, or resliced set of events is a per-row no-op.
+The ledger (keyed on STREAM_EPOCH_BASE + batch_id) remains as a cheap
+skip for exact re-delivery of committed micro-batches with an intact
+streaming checkpoint.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from etl_gmaps_spark.streaming.replay import Replayer
+from etl_gmaps_spark.tableio.snapshot_table import SnapshotTable
+
+STREAM_EPOCH_BASE = 1_000_000_000  # streaming ledger keys live far above log epochs
+
+
+def run_availablenow(
+    spark: SparkSession,
+    log_path: str,
+    table: SnapshotTable,
+    checkpoint_dir: str,
+    schema=None,
+    max_files_per_trigger: int = 8,
+) -> dict:
+    """Replay everything currently in the log directory as a stream and
+    stop (trigger availableNow) — the streaming analog of the
+    reference's -exit-on-inactivity bounded run (runner/runner.go:106).
+    """
+    replayer = Replayer(table)
+    applied: list[dict] = []
+
+    def apply_micro_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        info = replayer.apply_batch(batch_df, epoch=STREAM_EPOCH_BASE + batch_id)
+        applied.append(info)
+
+    reader = spark.readStream
+    if schema is not None:
+        reader = reader.schema(schema)
+    stream = reader.option("maxFilesPerTrigger", str(max_files_per_trigger)).parquet(log_path)
+    q = (
+        stream.writeStream.foreachBatch(apply_micro_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return {
+        "micro_batches": len(applied),
+        "events": sum(i.get("events", 0) for i in applied),
+        "skipped": sum(1 for i in applied if i.get("skipped")),
+    }

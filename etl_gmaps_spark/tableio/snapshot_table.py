@@ -64,6 +64,9 @@ CHECKPOINT_PA_SCHEMA = pa.schema(
 )
 
 BUCKET_COL = "_bucket"
+LSN_COL = "_lsn"  # row-level LWW guard: lsn of the writer that produced the row
+DELETED_COL = "_deleted"  # tombstone: key is dead as of _lsn (delete-then-stale-replay safety)
+META_COLS = (LSN_COL, DELETED_COL)
 
 
 class CommitConflict(Exception):
@@ -104,14 +107,24 @@ class SnapshotTable:
         t = cls(spark, root)
         os.makedirs(t.meta_dir, exist_ok=True)
         os.makedirs(t.data_dir, exist_ok=True)
+        stored = T.StructType(
+            [f for f in schema.fields if f.name not in META_COLS]
+            + [
+                T.StructField(LSN_COL, T.LongType(), True),
+                T.StructField(DELETED_COL, T.BooleanType(), True),
+            ]
+        )
         files: dict[str, list[str]] = {}
         if base_df is not None:
-            files = t._write_buckets(base_df, version=1, key_col=key_col, n_buckets=n_buckets)
+            seeded = base_df.withColumn(LSN_COL, F.lit(0).cast("long")).withColumn(
+                DELETED_COL, F.lit(False)
+            )
+            files = t._write_buckets(seeded, version=1, key_col=key_col, n_buckets=n_buckets)
         snap = {
             "version": 1,
             "snapshot_id": 1,
             "parent": None,
-            "schema": json.loads(schema.json()),
+            "schema": json.loads(stored.json()),
             "key_col": key_col,
             "n_buckets": n_buckets,
             "files": files,
@@ -166,14 +179,19 @@ class SnapshotTable:
     def _all_files(self, snap: dict[str, Any]) -> list[str]:
         return [f for flist in snap["files"].values() for f in flist]
 
-    def read(self, version: int | None = None) -> DataFrame:
+    def read(self, version: int | None = None, include_meta: bool = False) -> DataFrame:
+        """Current (or time-travel) state. Tombstoned rows are filtered
+        and the _lsn/_deleted guard columns dropped unless
+        ``include_meta``."""
         snap = self.snapshot(version)
         schema = T.StructType.fromJson(snap["schema"])
         files = self._all_files(snap)
         if not files:
-            return self.spark.createDataFrame([], schema)
-        df = self.spark.read.option("mergeSchema", "true").parquet(*files)
-        return _align(df, schema)
+            df = self.spark.createDataFrame([], schema)
+        else:
+            df = _align(self.spark.read.option("mergeSchema", "true").parquet(*files), schema)
+        live = df.filter(~F.coalesce(F.col(DELETED_COL), F.lit(False)))
+        return live if include_meta else live.drop(*META_COLS)
 
     def read_buckets(self, buckets: list[int], version: int | None = None) -> DataFrame:
         snap = self.snapshot(version)
@@ -256,18 +274,30 @@ class SnapshotTable:
         epoch: int | list[int] | None = None,
         checkpoint_df: DataFrame | list[dict] | None = None,
         op_col: str = "op",
+        lsn_col: str = "lsn",
         extra_properties: dict[str, Any] | None = None,
         stats: dict[str, Any] | None = None,
         touched_buckets: list[int] | None = None,
     ) -> CommitResult:
-        """MERGE INTO: per-key upsert/delete, bucket-granular CoW.
+        """MERGE INTO: per-key upsert/delete, bucket-granular CoW, with
+        a ROW-LEVEL last-writer-wins guard.
 
         ``winners`` must have unique keys (the LWW reduce guarantees
         this — Iceberg MERGE has the same unique-source-key requirement)
-        and carry ``op_col`` ('I'/'U' upsert, 'D' delete) plus payload
-        columns. If ``epoch`` (one id or a group applied as one commit)
-        is already in the ledger the merge is a no-op (exactly-once
-        re-apply, reference resultwriter.go:83).
+        and carry ``op_col`` ('I'/'U' upsert, 'D' delete), optionally
+        ``lsn_col``, plus payload columns.
+
+        Two idempotence layers:
+          * batch level: if ``epoch`` (one id or a group applied as one
+            commit) is already in the ledger, the merge is a no-op
+            (mirrors ON CONFLICT DO NOTHING, reference resultwriter.go:83)
+          * row level: the target stores ``_lsn`` and a ``_deleted``
+            tombstone per key; an incoming row only wins when its lsn is
+            >= the stored one. Re-delivery of stale or duplicate events
+            (streaming retries, checkpoint loss, overlapping batches) is
+            therefore a no-op even when the ledger cannot see it.
+            Tombstones make delete-then-stale-replay safe: a dead key
+            remembers the lsn that killed it.
         """
         epochs = [] if epoch is None else ([epoch] if isinstance(epoch, int) else list(epoch))
         snap = self.snapshot()
@@ -279,13 +309,26 @@ class SnapshotTable:
         schema = T.StructType.fromJson(snap["schema"])
 
         # additive schema evolution: source columns the table lacks
-        payload_fields = [f for f in winners.schema.fields if f.name != op_col]
+        payload_fields = [
+            f for f in winners.schema.fields if f.name not in (op_col, lsn_col)
+        ]
         table_cols = {f.name for f in schema.fields}
         new_fields = [f for f in payload_fields if f.name not in table_cols]
         if new_fields:
-            schema = T.StructType(schema.fields + new_fields)
+            # meta columns stay last in the stored schema
+            data_fields = [f for f in schema.fields if f.name not in META_COLS]
+            meta_fields = [f for f in schema.fields if f.name in META_COLS]
+            schema = T.StructType(data_fields + new_fields + meta_fields)
 
-        wb = winners.withColumn(BUCKET_COL, bucket_expr(key_col, n_buckets))
+        has_lsn = lsn_col in winners.columns
+        src = winners.withColumn(
+            LSN_COL,
+            F.col(lsn_col).cast("long") if has_lsn else F.lit(None).cast("long"),
+        ).withColumn(DELETED_COL, F.col(op_col) == "D")
+        if has_lsn:
+            src = src.drop(lsn_col)
+        src = src.drop(op_col)
+        wb = _align(src, schema).withColumn(BUCKET_COL, bucket_expr(key_col, n_buckets))
         wb.persist()
         # callers that already aggregated per-bucket lineage stats know
         # the touched set — saves one job over the batch
@@ -294,14 +337,33 @@ class SnapshotTable:
         else:
             touched = [r[0] for r in wb.select(BUCKET_COL).distinct().collect()]
 
-        target = self.read_buckets(touched)
-        target = _align(target, schema)
-        upserts = _align(
-            wb.filter(F.col(op_col) != "D").drop(op_col, BUCKET_COL), schema
+        target = _align(self.read_buckets(touched), schema)
+        data_cols = [f.name for f in schema.fields if f.name not in META_COLS and f.name != key_col]
+        s = wb.select(
+            F.col(key_col).alias("_s_key"),
+            F.col(LSN_COL).alias("_s_lsn"),
+            F.col(DELETED_COL).alias("_s_del"),
+            *[F.col(c).alias(f"_s_{c}") for c in data_cols],
         )
-        # winners are unique by key (LWW reduce) — no distinct needed
-        survivors = target.join(wb.select(key_col), key_col, "left_anti")
-        merged = survivors.unionByName(upserts)
+        j = target.join(s, target[key_col] == s["_s_key"], "full_outer")
+        # source wins when present and not older than the stored row;
+        # null source lsn means "unordered upsert" — always wins
+        take_src = F.col("_s_key").isNotNull() & (
+            F.col(LSN_COL).isNull()
+            | F.col("_s_lsn").isNull()
+            | (F.col("_s_lsn") >= F.col(LSN_COL))
+        )
+        merged = j.select(
+            F.coalesce(F.col("_s_key"), F.col(key_col)).alias(key_col),
+            *[
+                F.when(take_src, F.col(f"_s_{c}")).otherwise(F.col(c)).alias(c)
+                for c in data_cols
+            ],
+            F.when(take_src, F.col("_s_lsn")).otherwise(F.col(LSN_COL)).alias(LSN_COL),
+            F.when(take_src, F.col("_s_del"))
+            .otherwise(F.coalesce(F.col(DELETED_COL), F.lit(False)))
+            .alias(DELETED_COL),
+        )
 
         v = snap["version"] + 1
         new_files = self._write_buckets(merged, v, key_col, n_buckets)
