@@ -32,16 +32,17 @@ def plus_code(lat: Column, lon: Column) -> Column:
     (reference gmaps/multiple.go:75 calls the OLC lib). Base-20 digit
     extraction per the public OLC spec, kept as a Column expression —
     no UDF, stays in codegen."""
-    lat_r = F.least(F.greatest(lat + 90.0, F.lit(0.0)), F.lit(179.9999999))
-    lon_r = ((lon + 180.0) % 360.0 + 360.0) % 360.0
+    # integer-scaled digit extraction (units of 1/8000 deg, the 10-digit
+    # grid) — one float multiply, no per-digit error accumulation
+    lat_v = F.floor(
+        F.least(F.greatest(lat + 90.0, F.lit(0.0)), F.lit(179.9999999)) * 8000
+    ).cast("long")
+    lon_v = F.floor((((lon + 180.0) % 360.0 + 360.0) % 360.0) * 8000).cast("long")
     parts = []
-    res = 20.0
-    for _ in range(5):
-        lat_d = F.floor(lat_r / res)
-        lon_d = F.floor(lon_r / res)
+    for i in range(5):
+        div = 160000 // (20**i)
+        lat_d = (lat_v / div).cast("long") % 20
+        lon_d = (lon_v / div).cast("long") % 20
         parts.append(F.substring(F.lit(OLC_ALPHABET), (lat_d + 1).cast("int"), 1))
         parts.append(F.substring(F.lit(OLC_ALPHABET), (lon_d + 1).cast("int"), 1))
-        lat_r = lat_r - lat_d * res
-        lon_r = lon_r - lon_d * res
-        res = res / 20.0
     return F.concat(*parts[:8], F.lit("+"), *parts[8:])
