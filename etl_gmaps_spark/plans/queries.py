@@ -1007,3 +1007,232 @@ def cdc_engine_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         F.aggregate("tokens", F.lit(0).cast("long"), lambda a, x: a + x).alias("tok_sum"),
     )
+
+
+# =====================================================================
+# Batch 3: map builders, priority claim, eligibility filter, IVF ANN
+# =====================================================================
+
+
+@register(
+    "reviews_per_rating_map",
+    """
+    WITH r AS (
+      SELECT event_type, CAST(event_id % 5 + 1 AS INT) AS rating
+      FROM events
+    ), c AS (
+      SELECT event_type, rating, count(*) AS n FROM r GROUP BY event_type, rating
+    )
+    SELECT event_type,
+           string_agg(format('{}:{}', rating, n), ',' ORDER BY rating) AS rating_map
+    FROM c GROUP BY event_type
+    """,
+)
+def reviews_per_rating_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6: the {rating: count} map shape (reference gmaps/entry.go:413-419)
+    — grouped counts folded into a canonical sorted map string so the
+    oracle hash is map-order-free."""
+    ev = _t(spark, sf_dir, "events")
+    c = ev.select("event_type", (F.col("event_id") % 5 + 1).cast("int").alias("rating")).groupBy(
+        "event_type", "rating"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return c.groupBy("event_type").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("rating", "n"))),
+                lambda s: F.concat_ws(":", s["rating"].cast("string"), s["n"].cast("string")),
+            ),
+            ",",
+        ).alias("rating_map")
+    )
+
+
+@register(
+    "open_hours_days",
+    """
+    WITH d AS (
+      SELECT event_type,
+             CAST((floor(epoch(ts) / 86400) + 4) % 7 AS INT) AS dow
+      FROM events
+    ), names AS (
+      SELECT event_type, dow,
+             ['Sunday','Monday','Tuesday','Wednesday','Thursday','Friday','Saturday'][dow + 1] AS day_name
+      FROM d GROUP BY event_type, dow
+    )
+    SELECT event_type,
+           string_agg(day_name, ',' ORDER BY dow) AS days_open
+    FROM names GROUP BY event_type
+    """,
+)
+def open_hours_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F8/F9: day-of-week naming + the day→hours map-build shape
+    (reference gmaps/entry.go:498-531). Day index computed from epoch
+    days arithmetic so both engines agree (their native dayofweek
+    conventions differ)."""
+    ev = _t(spark, sf_dir, "events")
+    dow = ((F.floor(F.unix_timestamp("ts") / 86400) + 4) % 7).cast("int")
+    names = F.array(*[F.lit(x) for x in
+                      ("Sunday", "Monday", "Tuesday", "Wednesday", "Thursday", "Friday", "Saturday")])
+    d = ev.select("event_type", dow.alias("dow")).groupBy("event_type", "dow").agg(F.count(F.lit(1)))
+    named = d.select("event_type", "dow", F.element_at(names, F.col("dow") + 1).alias("day_name"))
+    return named.groupBy("event_type").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dow", "day_name"))),
+                lambda s: s["day_name"],
+            ),
+            ",",
+        ).alias("days_open")
+    )
+
+
+@register(
+    "priority_queue_claim",
+    """
+    WITH pri AS (
+      SELECT event_id, event_type, ts,
+             CASE event_type WHEN 'error' THEN 0 WHEN 'purchase' THEN 1 ELSE 2 END AS priority
+      FROM events
+    )
+    SELECT event_id, event_type, CAST(priority AS INT) AS priority
+    FROM pri ORDER BY priority, ts, event_id LIMIT 10
+    """,
+)
+def priority_queue_claim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2/O2: the queue-claim ordering — ORDER BY (priority, created_at)
+    LIMIT batch (reference postgres/provider.go:152-165, batch size
+    :20). TakeOrderedAndProject, no full sort."""
+    ev = _t(spark, sf_dir, "events")
+    pri = (
+        F.when(F.col("event_type") == "error", 0)
+        .when(F.col("event_type") == "purchase", 1)
+        .otherwise(2)
+    )
+    return (
+        ev.select("event_id", "event_type", pri.cast("int").alias("priority"), "ts")
+        .orderBy("priority", "ts", "event_id")
+        .limit(10)
+        .drop("ts")
+    )
+
+
+@register(
+    "eligible_email_filter",
+    """
+    WITH w AS (
+      SELECT doc_id, source,
+             CASE WHEN doc_id % 7 = 0
+                  THEN 'https://facebook.com/' || split_part(text, ' ', 1)
+                  ELSE 'https://' || split_part(text, ' ', 1) || '.example.com' END AS website
+      FROM documents
+    )
+    SELECT source, count(*) AS n_eligible
+    FROM w
+    WHERE website IS NOT NULL AND website <> ''
+      AND NOT regexp_matches(lower(website), 'facebook|instagram|twitter')
+    GROUP BY source
+    """,
+)
+def eligible_email_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6: the email-eligible-website gate (reference
+    gmaps/entry.go:125-143) over a synthesized website column."""
+    from etl_gmaps_spark.functions import eligible_for_email
+
+    d = _t(spark, sf_dir, "documents")
+    website = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.concat(F.lit("https://facebook.com/"), F.split("text", " ").getItem(0)),
+    ).otherwise(F.concat(F.lit("https://"), F.split("text", " ").getItem(0), F.lit(".example.com")))
+    return (
+        d.select("doc_id", "source", website.alias("website"))
+        .filter(eligible_for_email(F.col("website")))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_eligible"))
+    )
+
+
+@register(
+    "ann_ivf",
+    """
+    WITH v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS vv,
+             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS vn
+      FROM embeddings
+    ), c AS (
+      SELECT vec_id AS cid, vv AS cv, vn AS cn FROM v WHERE vec_id % 37 = 0
+    ), assign AS (
+      SELECT vec_id, vv, vn, cid,
+             row_number() OVER (PARTITION BY vec_id
+               ORDER BY round(list_dot_product(vv, cv) / (vn * cn), 4) DESC, cid) AS rn
+      FROM v CROSS JOIN c
+    ), assigned AS (
+      SELECT vec_id, vv, vn, cid FROM assign WHERE rn = 1
+    ), q AS (
+      SELECT vec_id AS query_id, vv AS qv, vn AS qn FROM v WHERE vec_id < 5
+    ), probes AS (
+      SELECT query_id, qv, qn, cid FROM (
+        SELECT query_id, qv, qn, cid,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY round(list_dot_product(qv, cv) / (qn * cn), 4) DESC, cid) AS rn
+        FROM q CROSS JOIN c
+      ) WHERE rn <= 2
+    ), scored AS (
+      SELECT query_id, a.vec_id,
+             round(list_dot_product(qv, vv) / (qn * vn), 4) AS cosine
+      FROM assigned a JOIN probes p ON a.cid = p.cid
+    )
+    SELECT query_id, vec_id, cosine, CAST(rank AS INT) AS rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+      FROM scored
+    ) WHERE rank <= 3
+    """,
+)
+def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-Flat ANN, the similarity-search scale path: corpus assigned
+    to nearest centroid once (broadcast), queries probe 2 cells, search
+    touches only probed cells. Deterministic centroid set (vec_id%37).
+    All ranking on rounded cosine + id tiebreak for oracle stability."""
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("vv")
+    )
+    norm = F.sqrt(F.aggregate("vv", F.lit(0.0), lambda a, x: a + x * x))
+    v = e.select("vec_id", "vv", norm.alias("vn"))
+    c = v.filter(F.col("vec_id") % 37 == 0).select(
+        F.col("vec_id").alias("cid"), F.col("vv").alias("cv"), F.col("vn").alias("cn")
+    )
+
+    def dot(a, b):
+        return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+    sim_vc = F.round(dot("vv", "cv") / (F.col("vn") * F.col("cn")), 4)
+    wv = W.partitionBy("vec_id").orderBy(F.desc("_sim"), F.asc("cid"))
+    assigned = (
+        v.crossJoin(F.broadcast(c))
+        .withColumn("_sim", sim_vc)
+        .withColumn("_rn", F.row_number().over(wv))
+        .filter(F.col("_rn") == 1)
+        .select("vec_id", "vv", "vn", "cid")
+    )
+    q = v.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("vv").alias("qv"), F.col("vn").alias("qn")
+    )
+    sim_qc = F.round(dot("qv", "cv") / (F.col("qn") * F.col("cn")), 4)
+    wq = W.partitionBy("query_id").orderBy(F.desc("_sim"), F.asc("cid"))
+    probes = (
+        q.crossJoin(F.broadcast(c))
+        .withColumn("_sim", sim_qc)
+        .withColumn("_rn", F.row_number().over(wq))
+        .filter(F.col("_rn") <= 2)
+        .select("query_id", "qv", "qn", "cid")
+    )
+    scored = assigned.join(F.broadcast(probes), "cid").select(
+        "query_id",
+        "vec_id",
+        F.round(dot("qv", "vv") / (F.col("qn") * F.col("vn")), 4).alias("cosine"),
+    )
+    wr = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= 3)
+        .select("query_id", "vec_id", "cosine", F.col("rank").cast("int").alias("rank"))
+    )

@@ -137,18 +137,35 @@ class Replayer:
         cols = batch.columns
         row = F.struct(*[F.col(c) for c in cols])
         ev_bytes = F.coalesce(F.col("n_tok") * 4, F.lit(0)) + F.length(self.key_col) + 16
-        per_key = (
-            batch.groupBy(self.key_col)
-            .agg(
-                F.max_by(row, F.col(self.lsn_col)).alias("_w"),
-                F.count(F.lit(1)).alias("_raw_rows"),
-                F.count_distinct(F.col(self.lsn_col)).alias("rows_applied"),
-                F.max(self.lsn_col).alias("last_lsn"),
-                F.sum(ev_bytes).alias("_raw_bytes"),
-                F.max("ts").alias("updated_at"),
+        aggs = [
+            F.max_by(row, F.col(self.lsn_col)).alias("_w"),
+            F.count(F.lit(1)).alias("_raw_rows"),
+            F.count_distinct(F.col(self.lsn_col)).alias("rows_applied"),
+            F.max(self.lsn_col).alias("last_lsn"),
+            F.sum(ev_bytes).alias("_raw_bytes"),
+            F.max("ts").alias("updated_at"),
+        ]
+        if self.salt_buckets and self.salt_buckets > 1:
+            # explicit two-phase reduce for pathological hot keys: the
+            # salt comes from the LSN, so one key's events spread over
+            # salt_buckets reducers; per-salt distinct-lsn counts are
+            # disjoint and SUM exactly in phase 2.
+            salt = F.pmod(F.xxhash64(F.col(self.lsn_col)), F.lit(self.salt_buckets))
+            partial = batch.groupBy(self.key_col, salt.alias("_salt")).agg(*aggs)
+            per_key = (
+                partial.groupBy(self.key_col)
+                .agg(
+                    F.max_by(F.col("_w"), F.col("last_lsn")).alias("_w"),
+                    F.sum("_raw_rows").alias("_raw_rows"),
+                    F.sum("rows_applied").alias("rows_applied"),
+                    F.max("last_lsn").alias("last_lsn"),
+                    F.sum("_raw_bytes").alias("_raw_bytes"),
+                    F.max("updated_at").alias("updated_at"),
+                )
+                .persist()
             )
-            .persist()
-        )
+        else:
+            per_key = batch.groupBy(self.key_col).agg(*aggs).persist()
         stats_df = (
             per_key.withColumn("_p", bucket_expr(self.key_col, n_buckets))
             .groupBy("_p")

@@ -258,6 +258,67 @@ class SnapshotTable:
         n = sum(len(x) for x in files.values())
         return CommitResult(v, v, -1, n, None)
 
+    def expire_snapshots(self, keep_last: int = 2) -> dict:
+        """Storage hygiene (Iceberg expire_snapshots analog): delete
+        data files referenced ONLY by snapshots older than the last
+        ``keep_last``, and their metadata. The current snapshot and its
+        recent ancestors stay time-travelable; the pointer file is never
+        touched, so this is safe against concurrent readers of retained
+        versions."""
+        import shutil
+
+        current = self._current_version()
+        versions = sorted(
+            int(f[1:-5]) for f in os.listdir(self.meta_dir)
+            if f.startswith("v") and f.endswith(".json")
+        )
+        keep = set(versions[-keep_last:]) | {current}
+        live_files: set[str] = set()
+        live_ckpts: set[str] = set()
+        for v in keep:
+            snap = self.snapshot(v)
+            live_files.update(self._all_files(snap))
+            if snap.get("checkpoint_file"):
+                live_ckpts.add(snap["checkpoint_file"])
+        removed_files = removed_snaps = 0
+        for sdir in os.listdir(self.data_dir):
+            full = os.path.join(self.data_dir, sdir)
+            for root_dir, _, fnames in os.walk(full):
+                for fn in fnames:
+                    p = os.path.join(root_dir, fn)
+                    if fn.endswith(".parquet") and p not in live_files:
+                        os.remove(p)
+                        removed_files += 1
+        for v in versions:
+            if v not in keep:
+                os.remove(os.path.join(self.meta_dir, f"v{v}.json"))
+                removed_snaps += 1
+        for f in os.listdir(self.meta_dir):
+            p = os.path.join(self.meta_dir, f)
+            if f.startswith("ckpt-") and p not in live_ckpts:
+                shutil.rmtree(p, ignore_errors=True) if os.path.isdir(p) else os.remove(p)
+        return {"removed_files": removed_files, "removed_snapshots": removed_snaps, "kept": sorted(keep)}
+
+    def compact_tombstones(self, before_lsn: int) -> CommitResult:
+        """Tombstone GC: physically drop deleted rows whose _lsn is
+        below ``before_lsn`` (the replay low-water mark) — no event at a
+        lower lsn can ever arrive again, so the guard rows are dead
+        weight. Rewrites every bucket (run rarely, like Iceberg
+        rewrite_data_files)."""
+        snap = self.snapshot()
+        schema = T.StructType.fromJson(snap["schema"])
+        files = self._all_files(snap)
+        full = (
+            _align(self.spark.read.option("mergeSchema", "true").parquet(*files), schema)
+            if files
+            else self.spark.createDataFrame([], schema)
+        )
+        kept = full.filter(
+            ~F.coalesce(F.col(DELETED_COL), F.lit(False))
+            | (F.col(LSN_COL) >= F.lit(before_lsn))
+        )
+        return self.overwrite(kept)
+
     def evolve_schema(self, new_fields: list[T.StructField]) -> T.StructType:
         """Additive-only schema evolution (mirrors reference migrations
         0001→0003 and the drift-tolerant load core_logic.py:473-480)."""

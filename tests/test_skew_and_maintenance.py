@@ -1,0 +1,85 @@
+"""Hot-key skew through the salted engine path + table maintenance
+(snapshot expiry, tombstone compaction)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_gmaps_spark.datagen import gen_base, gen_changelog
+from etl_gmaps_spark.oracle import replay_oracle
+from etl_gmaps_spark.schemas import TARGET_SCHEMA
+from etl_gmaps_spark.streaming.replay import Replayer
+from etl_gmaps_spark.tableio import SnapshotTable
+from tests.conftest import assert_table_equal
+
+
+def test_salted_replay_on_skewed_log(spark, tmp_path):
+    """2 hot keys receive 60% of 4000 events (north-rule skew scenario);
+    the explicit two-phase salted reduce must agree with the oracle and
+    with the unsalted plan."""
+    base = gen_base(spark, n_docs=200, seed=61)
+    log = gen_changelog(
+        spark, n_docs=200, n_events=4000, seed=61, epoch_size=1000,
+        hot_keys=2, hot_frac=0.60,
+    )
+    # confirm the skew is real: top key holds >20% of events
+    top = (
+        log.groupBy("doc_id").count().orderBy(F.desc("count")).limit(1).collect()[0]
+    )
+    assert top["count"] > 800
+
+    t_salted = SnapshotTable.create(spark, str(tmp_path / "s"), TARGET_SCHEMA, base_df=base)
+    m = Replayer(t_salted, salt_buckets=8).run(log)
+    assert m.events_processed == 4000
+    expected = replay_oracle(base.toPandas(), log.toPandas())
+    assert_table_equal(t_salted.read(), expected)
+
+    t_plain = SnapshotTable.create(spark, str(tmp_path / "p"), TARGET_SCHEMA, base_df=base)
+    Replayer(t_plain).run(log)
+    assert_table_equal(t_plain.read(), expected)
+    # lineage identical regardless of salting
+    cs = t_salted.checkpoint().toPandas().sort_values("partition").reset_index(drop=True)
+    cp = t_plain.checkpoint().toPandas().sort_values("partition").reset_index(drop=True)
+    assert (cs["rows_applied"] == cp["rows_applied"]).all()
+    assert (cs["last_lsn"] == cp["last_lsn"]).all()
+
+
+def test_expire_snapshots_keeps_current_state(spark, tmp_path):
+    base = gen_base(spark, n_docs=100, seed=71)
+    log = gen_changelog(spark, n_docs=100, n_events=1500, seed=71, epoch_size=250, dup_epochs=())
+    table = SnapshotTable.create(spark, str(tmp_path / "t"), TARGET_SCHEMA, base_df=base)
+    Replayer(table).run(log)
+    before = table.read().toPandas()
+    res = table.expire_snapshots(keep_last=2)
+    assert res["removed_snapshots"] > 0 and res["removed_files"] > 0
+    after = table.read().toPandas()
+    assert len(before) == len(after)
+    # retained ancestor still time-travelable
+    kept = res["kept"]
+    assert table.read(version=min(kept)).count() > 0
+    # expired version is gone
+    import pytest
+
+    with pytest.raises(FileNotFoundError):
+        table.snapshot(1)
+
+
+def test_tombstone_compaction(spark, tmp_path):
+    base = gen_base(spark, n_docs=100, seed=73)
+    log = gen_changelog(spark, n_docs=100, n_events=1000, seed=73, epoch_size=500)
+    table = SnapshotTable.create(spark, str(tmp_path / "t"), TARGET_SCHEMA, base_df=base)
+    Replayer(table).run(log)
+    expected = replay_oracle(base.toPandas(), log.toPandas())
+    live_before = table.read().count()
+    full = spark.read.option("mergeSchema", "true").parquet(
+        *[f for fl in table.snapshot()["files"].values() for f in fl]
+    )
+    n_tombstones = full.filter(F.col("_deleted")).count()
+    assert n_tombstones > 0  # deletes happened
+    table.compact_tombstones(before_lsn=10_000)
+    full2 = spark.read.option("mergeSchema", "true").parquet(
+        *[f for fl in table.snapshot()["files"].values() for f in fl]
+    )
+    assert full2.filter(F.col("_deleted")).count() == 0
+    assert_table_equal(table.read(), expected)  # live state unchanged
+    assert live_before == table.read().count()
