@@ -1236,3 +1236,41 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 3)
         .select("query_id", "vec_id", "cosine", F.col("rank").cast("int").alias("rank"))
     )
+
+
+@register(
+    "positional_path_parse",
+    """
+    WITH raw AS (
+      SELECT doc_id,
+             '[[' || '"' || lang || '","' || source || '"],[' || n_chars || ']]' AS blob
+      FROM documents
+    )
+    SELECT doc_id,
+           json_extract_string(blob, '$[0][0]') AS lang_parsed,
+           json_extract_string(blob, '$[0][1]') AS source_parsed,
+           json_extract(blob, '$[1][0]')::BIGINT AS n_chars_parsed,
+           json_extract_string(blob, '$[9][9]') AS missing
+    FROM raw
+    """,
+)
+def positional_path_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1/P3: positional JSON path extraction over untyped nested
+    arrays — the null-safe getNthElementAndCast shape (reference
+    gmaps/entry.go:570-611) done Catalyst-side with get_json_object
+    (no UDF; the full-row pandas-UDF variant lives in
+    operators/entry_parse.py). A deliberately-missing path returns
+    null, the zero-value semantics."""
+    d = _t(spark, sf_dir, "documents")
+    blob = F.concat(
+        F.lit('[["'), F.col("lang"), F.lit('","'), F.col("source"), F.lit('"],['),
+        F.col("n_chars").cast("string"), F.lit("]]"),
+    )
+    raw = d.select("doc_id", blob.alias("blob"))
+    return raw.select(
+        "doc_id",
+        F.get_json_object("blob", "$[0][0]").alias("lang_parsed"),
+        F.get_json_object("blob", "$[0][1]").alias("source_parsed"),
+        F.get_json_object("blob", "$[1][0]").cast("long").alias("n_chars_parsed"),
+        F.get_json_object("blob", "$[9][9]").alias("missing"),
+    )

@@ -1,0 +1,55 @@
+"""Property-based testing (hypothesis): arbitrary op sequences replayed
+through the engine must equal the oracle — beyond the seeded fixtures."""
+
+from __future__ import annotations
+
+import pandas as pd
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from etl_gmaps_spark.operators.lww import batch_replay
+from etl_gmaps_spark.oracle import replay_oracle
+
+KEYS = [f"doc-{i:08d}" for i in range(6)]  # few keys → dense op collisions
+
+event = st.tuples(
+    st.sampled_from(KEYS),
+    st.sampled_from(["I", "U", "D"]),
+    st.lists(st.integers(0, 50256), min_size=1, max_size=6),
+)
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(event, min_size=1, max_size=40), st.randoms())
+def test_random_op_sequences_match_oracle(spark_session_holder, events, rnd):
+    spark = spark_session_holder
+    rows = []
+    for lsn, (doc, op, toks) in enumerate(events, start=1):
+        if op == "D":
+            rows.append((lsn, lsn // 10, op, doc, None, None, None))
+        else:
+            rows.append((lsn, lsn // 10, op, doc, toks, len(toks), "web"))
+    rnd.shuffle(rows)  # storage order != lsn order
+    pdf = pd.DataFrame(
+        rows, columns=["lsn", "epoch", "op", "doc_id", "tokens", "n_tok", "source"]
+    )
+    log = spark.createDataFrame(
+        pdf,
+        "lsn long, epoch long, op string, doc_id string, tokens array<int>, n_tok int, source string",
+    )
+    got = batch_replay(None, log).toPandas()
+    want = replay_oracle(None, pdf)
+    got["tokens"] = got["tokens"].map(lambda v: None if v is None else tuple(v))
+    want["tokens"] = want["tokens"].map(lambda v: None if v is None else tuple(v))
+    got = got.sort_values("doc_id").reset_index(drop=True)[sorted(got.columns)]
+    want = want.sort_values("doc_id").reset_index(drop=True)[sorted(want.columns)]
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+# hypothesis can't take pytest fixtures directly as given() args; shim it
+import pytest  # noqa: E402
+
+
+@pytest.fixture(name="spark_session_holder")
+def _holder(spark):
+    return spark
