@@ -1274,3 +1274,453 @@ def positional_path_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.get_json_object("blob", "$[1][0]").cast("long").alias("n_chars_parsed"),
         F.get_json_object("blob", "$[9][9]").alias("missing"),
     )
+
+
+# =====================================================================
+# Batch 4: n-gram Jaccard, SimHash hamming pairs, embedding near-dup,
+# email extraction, scalar normalization, OLC encode, streaming e2e
+# =====================================================================
+
+_BIGRAMS = None  # built per-call; see _bigram_sets
+
+
+def _bigram_sets(d: DataFrame) -> DataFrame:
+    """(doc_id, sh: array<string>) — distinct word bigrams per doc."""
+    w = F.split(F.col("text"), " ")
+    n = F.size(w)
+    bigrams = F.when(
+        n >= 2,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), n - 1),
+                lambda i: F.concat_ws(" ", F.element_at(w, i), F.element_at(w, i + 1)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return d.select("doc_id", bigrams.alias("sh"))
+
+
+@register(
+    "ngram_jaccard_dedupe",
+    """
+    WITH ws AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ), sets AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS sh
+      FROM ws
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(len(list_intersect(a.sh, b.sh)) /
+                 (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))::DOUBLE, 4)
+             AS jaccard
+    FROM sets a JOIN sets b ON a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.sh, b.sh)) /
+          (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))::DOUBLE >= 0.2
+    """,
+)
+def ngram_jaccard_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Direct n-gram (word-bigram) Jaccard near-dup pairs via an
+    INVERTED INDEX: explode shingles, equi-join postings on the shingle,
+    count co-occurrences — never an all-pairs cross join (the oracle IS
+    all-pairs because DuckDB at sf0.01 can afford it; the Spark plan is
+    the one that scales). |A∩B| comes from the posting join; sizes join
+    back broadcast. Library twin: operators/dedupe.ngram_jaccard_pairs."""
+    d = _t(spark, sf_dir, "documents")
+    sets = _bigram_sets(d)
+    sizes = sets.select("doc_id", F.size("sh").alias("_n"))
+    inv = sets.select("doc_id", F.explode("sh").alias("s"))
+    a, b = inv.alias("a"), inv.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("_n").alias("_na"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("_n").alias("_nb"))
+    jac = F.col("_inter") / (F.col("_na") + F.col("_nb") - F.col("_inter")).cast("double")
+    return (
+        inter.join(F.broadcast(sa), "id_a")
+        .join(F.broadcast(sb), "id_b")
+        .filter(jac >= 0.2)
+        .select("id_a", "id_b", F.round(jac, 4).alias("jaccard"))
+    )
+
+
+_SIMHASH_BITS_SQL = " + ".join(
+    f"(CASE WHEN sum(CASE WHEN (w32 // {1 << b}) % 2 = 1 THEN 1 ELSE -1 END) > 0 THEN {1 << b} ELSE 0 END)"
+    for b in range(16)
+)
+
+
+def _simhash16_df(d: DataFrame) -> DataFrame:
+    """(doc_id, simhash) — 16-bit md5-bridge SimHash (same formula as
+    the simhash_fingerprint query; shared so pair queries reuse it)."""
+    words = d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    hashed = words.select("doc_id", _w32(F.col("w")).alias("w32"))
+    votes = hashed.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when((F.col("w32") / (1 << b)).cast("long") % 2 == 1, 1).otherwise(-1)
+            ).alias(f"_b{b}")
+            for b in range(16)
+        ]
+    )
+    fp = None
+    for b in range(16):
+        term = F.when(F.col(f"_b{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        fp = term if fp is None else fp + term
+    return votes.select("doc_id", fp.cast("long").alias("simhash"))
+
+
+@register(
+    "simhash_hamming_pairs",
+    f"""
+    WITH words AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+    ), hashed AS (
+      SELECT doc_id, {_W32_SQL.format(w="w")} AS w32 FROM words
+    ), sig AS (
+      SELECT doc_id, CAST({_SIMHASH_BITS_SQL} AS BIGINT) AS simhash
+      FROM hashed GROUP BY doc_id
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 1
+    """,
+)
+def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup PAIRS by Hamming distance <= 1, using the
+    pigeonhole block trick: split the 16-bit fingerprint into 2 blocks
+    of 8; any pair within distance 1 shares at least one intact block,
+    so candidates come from an equi-join on (block_idx, block_value) —
+    never all-pairs (the oracle is all-pairs; DuckDB affords it at
+    sf0.01). Library twin: operators/dedupe.simhash_pairs."""
+    d = _t(spark, sf_dir, "documents")
+    fps = _simhash16_df(d)
+    blocks = fps.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("blk"),
+                        F.shiftright("simhash", i * 8).bitwiseAND(F.lit(255)).alias("val"),
+                    )
+                    for i in range(2)
+                ]
+            )
+        ).alias("_b"),
+    ).select("doc_id", "simhash", F.col("_b.blk").alias("blk"), F.col("_b.val").alias("val"))
+    a, b = blocks.alias("a"), blocks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.col("a.simhash").alias("_fa"),
+            F.col("b.simhash").alias("_fb"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("_fa").bitwiseXOR(F.col("_fb")))
+    return (
+        cand.withColumn("hamming", ham.cast("int"))
+        .filter(F.col("hamming") <= 1)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def _lsh_wt_sql(p: int, d_expr: str) -> str:
+    """Hyperplane weight in [-1,1): mirrors operators/dedupe._hyperplane_bucket
+    (seed=42) so Spark and DuckDB bucket identically."""
+    return (
+        f"((((({d_expr}) + {p * 997 + 42}) * {LCG_A} + {LCG_C}) % {LCG_M}) % 2001 - 1000) / 1000.0"
+    )
+
+
+_NEARDUP_BUCKET_SQL = " + ".join(
+    f"(CASE WHEN list_sum(list_transform(vv, (x, i) -> x * ({_lsh_wt_sql(p, 'i - 1')}))) > 0 "
+    f"THEN {1 << p} ELSE 0 END)"
+    for p in range(4)
+)
+
+_NEARDUP_NOISE_SQL = "(((i - 1) * 1103515245 + 12345) % 2147483648 % 2001 - 1000) / 1000.0 * 0.01"
+
+
+@register(
+    "embedding_neardup",
+    f"""
+    WITH v0 AS (
+      SELECT vec_id, embedding::DOUBLE[] AS vv FROM embeddings
+    ), corpus AS (
+      SELECT vec_id, vv FROM v0
+      UNION ALL
+      SELECT vec_id + 10000, list_transform(vv, x -> x * 1.001) FROM v0 WHERE vec_id < 15
+      UNION ALL
+      SELECT vec_id + 20000, list_transform(vv, (x, i) -> x + {_NEARDUP_NOISE_SQL})
+      FROM v0 WHERE vec_id BETWEEN 15 AND 29
+    ), b AS (
+      SELECT vec_id, vv,
+             sqrt(list_dot_product(vv, vv)) AS vn,
+             ({_NEARDUP_BUCKET_SQL}) AS bkt
+      FROM corpus
+    )
+    SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+           round(list_dot_product(a.vv, c.vv) / (a.vn * c.vn), 4) AS cosine
+    FROM b a JOIN b c ON a.bkt = c.bkt AND a.vec_id < c.vec_id
+    WHERE round(list_dot_product(a.vv, c.vv) / (a.vn * c.vn), 4) >= 0.98
+    """,
+)
+def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine NEAR-DUP pairs (threshold 0.98) via random-
+    hyperplane LSH: 4 LCG-deterministic planes give a 16-way sign
+    bucket; pairs are only scored within a bucket (scale path — the
+    oracle replicates the identical bucketing so candidate sets match
+    bit-for-bit). The corpus is the embeddings table plus planted
+    near-dups: 15 scaled copies (cosine exactly 1.0 — sign-invariant so
+    guaranteed same bucket) and 15 noise-perturbed copies (cosine
+    ~0.999). Library twin: operators/dedupe.embedding_cosine_pairs."""
+    from etl_gmaps_spark.operators.dedupe import _hyperplane_bucket
+
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("vv")
+    )
+    scaled = e.filter(F.col("vec_id") < 15).select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        F.transform("vv", lambda x: x * 1.001).alias("vv"),
+    )
+    noisy = e.filter(F.col("vec_id").between(15, 29)).select(
+        (F.col("vec_id") + 20000).alias("vec_id"),
+        F.transform(
+            "vv",
+            lambda x, i: x
+            + ((i.cast("long") * LCG_A + LCG_C) % LCG_M % 2001 - 1000).cast("double")
+            / 1000.0
+            * 0.01,
+        ).alias("vv"),
+    )
+    corpus = e.unionAll(scaled).unionAll(noisy)
+    norm = F.sqrt(F.aggregate("vv", F.lit(0.0), lambda a, x: a + x * x))
+    base = corpus.select(
+        "vec_id", "vv", norm.alias("vn"), _hyperplane_bucket("vv", 4, 42).alias("bkt")
+    )
+    a, c = base.alias("a"), base.alias("c")
+    dot = F.aggregate(
+        F.zip_with("a.vv", "c.vv", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    cos = F.round(dot / (F.col("a.vn") * F.col("c.vn")), 4)
+    return (
+        a.join(c, (F.col("a.bkt") == F.col("c.bkt")) & (F.col("a.vec_id") < F.col("c.vec_id")))
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("c.vec_id").alias("id_b"),
+            cos.alias("cosine"),
+        )
+        .filter(F.col("cosine") >= 0.98)
+    )
+
+
+@register(
+    "email_extract",
+    r"""
+    WITH m AS (
+      SELECT doc_id,
+             'contact ' || split_part(text, ' ', 1) || '@' || source ||
+             '.com or mailto:' || split_part(text, ' ', 2) ||
+             '@example.org thanks ' || split_part(text, ' ', 1) || '@' || source || '.com'
+               AS body
+      FROM documents
+    ), ex AS (
+      SELECT doc_id,
+             list_sort(list_distinct(
+               regexp_extract_all(body, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')
+             )) AS es
+      FROM m
+    )
+    SELECT doc_id, array_to_string(es, ',') AS emails, len(es) AS n_emails
+    FROM ex
+    """,
+)
+def email_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3/F4 email extraction (reference gmaps/emailjob.go:95-139):
+    regex over a synthesized body containing mailto: links and repeated
+    addresses; all matches extracted, deduped, sorted for a canonical
+    hash. Pure regexp_extract_all + array ops — no UDF."""
+    d = _t(spark, sf_dir, "documents")
+    body = F.concat(
+        F.lit("contact "), F.split("text", " ").getItem(0), F.lit("@"), F.col("source"),
+        F.lit(".com or mailto:"), F.split("text", " ").getItem(1),
+        F.lit("@example.org thanks "), F.split("text", " ").getItem(0), F.lit("@"),
+        F.col("source"), F.lit(".com"),
+    )
+    es = F.array_sort(
+        F.array_distinct(
+            F.regexp_extract_all(body, F.lit(r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"), 0)
+        )
+    )
+    return d.select(
+        "doc_id",
+        F.array_join(es, ",").alias("emails"),
+        F.size(es).cast("long").alias("n_emails"),
+    )
+
+
+@register(
+    "scalar_normalize",
+    """
+    WITH s AS (
+      SELECT c_custkey,
+             format('+1-{:03d}-{:04d}', c_custkey % 800 + 100, c_custkey % 9000 + 1000) AS phone,
+             replace(c_name, '#', '%23') || '%20' || c_mktsegment AS enc,
+             ')]}' || chr(39) || c_name AS blob,
+             CASE WHEN c_custkey % 5 = 0 THEN NULL ELSE c_mktsegment END AS seg
+      FROM customer
+    )
+    SELECT c_custkey,
+           regexp_replace(phone, '[^0-9+]', '', 'g') AS phone_digits,
+           concat_ws(', ', c_name, seg, 'USA') AS address,
+           replace(replace(enc, '%23', '#'), '%20', ' ') AS url_decoded,
+           regexp_replace(blob, '^\\)\\]\\}''', '') AS unwrapped
+    FROM s JOIN customer USING (c_custkey)
+    """,
+)
+def scalar_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5/F13/F14/F16 scalar-function pack over synthesized columns:
+    phone-digit normalization (core_logic.py:417), null-skipping address
+    concat (gmaps/multiple.go:53-65), URL percent-decode
+    (gmaps/entry.go:631-640 — real url_decode on the Spark side; the
+    oracle inverts the known escapes), and the `)]}'` security-prefix
+    strip (gmaps/place.go:194-197)."""
+    from etl_gmaps_spark.functions import concat_address, normalize_phone, strip_security_prefix
+
+    c = _t(spark, sf_dir, "customer")
+    phone = F.format_string("+1-%03d-%04d", (F.col("c_custkey") % 800 + 100).cast("int"),
+                            (F.col("c_custkey") % 9000 + 1000).cast("int"))
+    enc = F.concat(F.regexp_replace("c_name", "#", "%23"), F.lit("%20"), F.col("c_mktsegment"))
+    blob = F.concat(F.lit(")]}'"), F.col("c_name"))
+    seg = F.when(F.col("c_custkey") % 5 == 0, F.lit(None)).otherwise(F.col("c_mktsegment"))
+    return c.select(
+        "c_custkey",
+        normalize_phone(phone).alias("phone_digits"),
+        concat_address(F.col("c_name"), seg, F.lit("USA")).alias("address"),
+        F.url_decode(enc).alias("url_decoded"),
+        strip_security_prefix(blob).alias("unwrapped"),
+    )
+
+
+_OLC_SQL_DIGITS = " || ".join(
+    f"substr('23456789CFGHJMPQRVWX', CAST((lat_v // {160000 // 20**i}) % 20 AS INT) + 1, 1) || "
+    f"substr('23456789CFGHJMPQRVWX', CAST((lon_v // {160000 // 20**i}) % 20 AS INT) + 1, 1)"
+    for i in range(4)
+) + (
+    " || '+' || "
+    f"substr('23456789CFGHJMPQRVWX', CAST((lat_v // 1) % 20 AS INT) + 1, 1) || "
+    f"substr('23456789CFGHJMPQRVWX', CAST((lon_v // 1) % 20 AS INT) + 1, 1)"
+)
+
+
+@register(
+    "olc_encode",
+    f"""
+    WITH pts AS (
+      SELECT c_custkey,
+             -90.0  + ((c_custkey * 7919)   % 1440000 + 0.5) / 8000.0 AS lat,
+             -180.0 + ((c_custkey * 104729) % 2880000 + 0.5) / 8000.0 AS lon
+      FROM customer
+    ), units AS (
+      SELECT c_custkey,
+             CAST(floor(least(greatest(lat + 90.0, 0.0), 179.9999999) * 8000) AS BIGINT) AS lat_v,
+             CAST(floor(fmod(fmod(lon + 180.0, 360.0) + 360.0, 360.0) * 8000) AS BIGINT) AS lon_v
+      FROM pts
+    )
+    SELECT c_custkey, {_OLC_SQL_DIGITS} AS olc
+    FROM units
+    """,
+)
+def olc_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2: Open Location Code (10-digit plus code) for LCG-derived
+    coordinates — the functions/geo.plus_code Column expression (pure
+    codegen, no UDF; reference calls the OLC lib per-row,
+    gmaps/multiple.go:75). Coordinates sit at cell centers (k + 0.5
+    units) so floor() is float-robust in both engines."""
+    from etl_gmaps_spark.functions.geo import plus_code
+
+    c = _t(spark, sf_dir, "customer")
+    lat = -90.0 + ((F.col("c_custkey") * 7919) % 1440000 + 0.5) / 8000.0
+    lon = -180.0 + ((F.col("c_custkey") * 104729) % 2880000 + 0.5) / 8000.0
+    return c.select("c_custkey", plus_code(lat, lon).alias("olc"))
+
+
+# ---------------------------------------------------------------- rows-only
+
+
+@register("stream_replay_e2e", sql=None)
+def stream_replay_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: the change log applied through Structured Streaming
+    (readStream → foreachBatch(apply) → availableNow) with the row-level
+    LWW guard providing exactly-once under arbitrary micro-batch
+    slicing. Returns the final table state."""
+    import tempfile
+
+    from etl_gmaps_spark.datagen import gen_base, gen_changelog
+    from etl_gmaps_spark.schemas import TARGET_SCHEMA
+    from etl_gmaps_spark.streaming.stream_replay import run_availablenow
+    from etl_gmaps_spark.tableio import SnapshotTable
+
+    wd = tempfile.mkdtemp(prefix="cdc_stream_e2e_")
+    base = gen_base(spark, n_docs=300, seed=7)
+    log = gen_changelog(spark, n_docs=300, n_events=3000, seed=7, epoch_size=1000)
+    log_dir = f"{wd}/log"
+    log.write.mode("overwrite").parquet(log_dir)
+    table = SnapshotTable.create(spark, f"{wd}/tbl", TARGET_SCHEMA, n_buckets=8, base_df=base)
+    run_availablenow(
+        spark, log_dir, table, checkpoint_dir=f"{wd}/ckpt",
+        schema=spark.read.parquet(log_dir).schema,
+    )
+    return table.read().select(
+        "doc_id",
+        "n_tok",
+        "source",
+        F.aggregate("tokens", F.lit(0).cast("long"), lambda a, x: a + x).alias("tok_sum"),
+    )
+
+
+@register("schema_evolution_e2e", sql=None)
+def schema_evolution_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: additive schema evolution mid-stream — epochs before
+    the split genuinely lack the `lang` column; the engine ALTER-ADDs it
+    on first sight and backfills nulls (mirrors reference migrations
+    0001→0003 and core_logic.py:473-480 drift tolerance)."""
+    import tempfile
+
+    from etl_gmaps_spark.datagen import gen_base, gen_changelog
+    from etl_gmaps_spark.schemas import TARGET_SCHEMA
+    from etl_gmaps_spark.streaming.replay import Replayer
+    from etl_gmaps_spark.tableio import SnapshotTable
+
+    wd = tempfile.mkdtemp(prefix="cdc_evolve_e2e_")
+    base = gen_base(spark, n_docs=300, seed=9)
+    log = gen_changelog(
+        spark, n_docs=300, n_events=3000, seed=9, epoch_size=1000, evolve_at=1500,
+        dup_epochs=(),
+    )
+    table = SnapshotTable.create(spark, f"{wd}/tbl", TARGET_SCHEMA, n_buckets=8, base_df=base)
+    r = Replayer(table)
+    r.apply_batch(log.filter(F.col("epoch") == 0).drop("lang"), epoch=0)
+    for e in (1, 2):
+        r.apply_batch(log.filter(F.col("epoch") == e), epoch=e)
+    return table.read().select(
+        "doc_id",
+        "n_tok",
+        "source",
+        "lang",
+        F.aggregate("tokens", F.lit(0).cast("long"), lambda a, x: a + x).alias("tok_sum"),
+    )
