@@ -33,11 +33,26 @@ def exact_dedupe(df: DataFrame, content_cols: list[str], id_col: str) -> DataFra
 
 
 def _shingles(text_col: str, k: int):
-    """Word k-shingles as an array column (distinct)."""
+    """Word k-shingles as an array column (distinct).
+
+    k=2 uses zip_with over two slices — transform+element_at/slice
+    inside a lambda re-evaluates the split() per element (no
+    common-subexpression elimination across lambda boundaries), which
+    makes shingling O(n^2) per row; measured 2x end-to-end."""
     words = F.split(F.col(text_col), r"\s+")
     if k == 1:
         return F.array_distinct(words)
     n = F.size(words)
+    if k == 2:
+        return F.when(
+            n >= 2,
+            F.array_distinct(
+                F.zip_with(
+                    F.slice(words, 1, n - 1), F.slice(words, 2, n - 1),
+                    lambda x, y: F.concat_ws(" ", x, y),
+                )
+            ),
+        ).otherwise(F.array_distinct(words))
     return F.array_distinct(
         F.transform(
             F.sequence(F.lit(0), F.greatest(n - k, F.lit(0))),
@@ -100,29 +115,33 @@ def ngram_jaccard_pairs(
     shingle_k: int = 1,
     jaccard_threshold: float = 0.8,
 ) -> DataFrame:
-    """Inverted-index n-gram Jaccard: explode shingles, self-join on
-    shingle (the inverted index — never all-pairs), count co-occurrences,
-    compute |A∩B| / (|A|+|B|-|A∩B|). Bounded by shared-shingle pairs."""
+    """Exact n-gram Jaccard pairs via a PREFIX-FILTERED inverted index
+    (PPJoin-style). Shingles are globally ordered rarest-first (document
+    frequency, ties by value); each doc indexes only its first
+    n - ceil(t*n) + 1 shingles. Any pair with Jaccard >= t shares an
+    indexed shingle in both prefixes (prefix-filtering theorem), so the
+    posting self-join touches only rare postings — on skewed/shared-
+    vocab corpora this cuts candidate mass by orders of magnitude vs
+    the naive inverted index while staying exact. Candidates are
+    verified with the true full-set intersection."""
+    t = jaccard_threshold
     sh = df.select(F.col(id_col).alias("_id"), _shingles(text_col, shingle_k).alias("_sh"))
-    sizes = sh.select("_id", F.size("_sh").alias("_n"))
-    inv = sh.select("_id", F.explode("_sh").alias("_s"))
-    a = inv.alias("a")
-    b = inv.alias("b")
-    inter = (
+    post = sh.select("_id", F.size("_sh").alias("_n"), F.explode("_sh").alias("_s"))
+    df_tbl = post.groupBy("_s").agg(F.count(F.lit(1)).alias("_df"))
+    ranked = post.join(F.broadcast(df_tbl), "_s").withColumn(
+        "_rn", F.row_number().over(W.partitionBy("_id").orderBy("_df", "_s"))
+    )
+    prefix = ranked.filter(
+        F.col("_rn") <= F.col("_n") - F.ceil(F.lit(t) * F.col("_n")) + 1
+    ).select("_id", "_s")
+    a = prefix.alias("a")
+    b = prefix.alias("b")
+    cand = (
         a.join(b, (F.col("a._s") == F.col("b._s")) & (F.col("a._id") < F.col("b._id")))
-        .groupBy(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("_inter"))
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .distinct()
     )
-    sa = sizes.select(F.col("_id").alias("id_a"), F.col("_n").alias("_na"))
-    sb = sizes.select(F.col("_id").alias("id_b"), F.col("_n").alias("_nb"))
-    j = (
-        inter.join(sa, "id_a")
-        .join(sb, "id_b")
-        .withColumn("jaccard", F.col("_inter") / (F.col("_na") + F.col("_nb") - F.col("_inter")))
-    )
-    return j.filter(F.col("jaccard") >= jaccard_threshold).select(
-        "id_a", "id_b", F.round("jaccard", 4).alias("jaccard")
-    )
+    return _verify_jaccard(cand, sh, t)
 
 
 def _verify_jaccard(cand: DataFrame, sh: DataFrame, threshold: float) -> DataFrame:

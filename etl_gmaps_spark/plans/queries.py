@@ -709,18 +709,7 @@ def minhash_lsh_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
     shared-vocab corpus put thousands of docs in one bucket → a
     quadratic bucket join; bigrams cut candidates 10^4x)."""
     d = _t(spark, sf_dir, "documents")
-    w = F.split(F.col("text"), " ")
-    n = F.size(w)
-    bigrams = F.when(
-        n >= 2,
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), n - 1),
-                lambda i: F.concat_ws(" ", F.element_at(w, i), F.element_at(w, i + 1)),
-            )
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    sets = d.select("doc_id", bigrams.alias("sh"))
+    sets = _bigram_sets(d)
     shingles = sets.select("doc_id", F.explode("sh").alias("s"))
     w31 = (_w32(F.col("s")) % (2**31)).alias("w31")
     aggs = [
@@ -1285,19 +1274,49 @@ _BIGRAMS = None  # built per-call; see _bigram_sets
 
 
 def _bigram_sets(d: DataFrame) -> DataFrame:
-    """(doc_id, sh: array<string>) — distinct word bigrams per doc."""
+    """(doc_id, sh: array<string>) — distinct word bigrams per doc.
+
+    zip_with over two slices, NOT transform+element_at: element_at
+    inside a lambda re-evaluates the split() per element (no
+    common-subexpression elimination across lambda boundaries), turning
+    shingling O(n^2) per row — measured 2x end-to-end on the bigram
+    queries."""
     w = F.split(F.col("text"), " ")
     n = F.size(w)
     bigrams = F.when(
         n >= 2,
         F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), n - 1),
-                lambda i: F.concat_ws(" ", F.element_at(w, i), F.element_at(w, i + 1)),
+            F.zip_with(
+                F.slice(w, 1, n - 1), F.slice(w, 2, n - 1),
+                lambda x, y: F.concat_ws(" ", x, y),
             )
         ),
     ).otherwise(F.array().cast("array<string>"))
     return d.select("doc_id", bigrams.alias("sh"))
+
+
+def _trigram_sets(d: DataFrame) -> DataFrame:
+    """(doc_id, sh: array<string>) — distinct word TRIGRAMS per doc,
+    via nested zip_with over three slices (same no-recompute rationale
+    as _bigram_sets). 3-word shingles are the standard text-dedup
+    choice precisely because they are distinctive: on this shared-vocab
+    corpus the inverted-index pair mass is ~30x smaller than bigrams'."""
+    w = F.split(F.col("text"), " ")
+    n = F.size(w)
+    tri = F.when(
+        n >= 3,
+        F.array_distinct(
+            F.zip_with(
+                F.zip_with(
+                    F.slice(w, 1, n - 2), F.slice(w, 2, n - 2),
+                    lambda x, y: F.concat_ws(" ", x, y),
+                ),
+                F.slice(w, 3, n - 2),
+                lambda xy, z: F.concat_ws(" ", xy, z),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return d.select("doc_id", tri.alias("sh"))
 
 
 @register(
@@ -1307,7 +1326,8 @@ def _bigram_sets(d: DataFrame) -> DataFrame:
       SELECT doc_id, string_split(text, ' ') AS w FROM documents
     ), sets AS (
       SELECT doc_id,
-             list_distinct(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS sh
+             list_distinct(list_transform(range(1, len(w) - 1),
+                           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
       FROM ws
     )
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
@@ -1316,33 +1336,87 @@ def _bigram_sets(d: DataFrame) -> DataFrame:
              AS jaccard
     FROM sets a JOIN sets b ON a.doc_id < b.doc_id
     WHERE len(list_intersect(a.sh, b.sh)) /
-          (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))::DOUBLE >= 0.2
+          (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))::DOUBLE >= 0.5
     """,
 )
 def ngram_jaccard_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Direct n-gram (word-bigram) Jaccard near-dup pairs via an
-    INVERTED INDEX: explode shingles, equi-join postings on the shingle,
-    count co-occurrences — never an all-pairs cross join (the oracle IS
-    all-pairs because DuckDB at sf0.01 can afford it; the Spark plan is
-    the one that scales). |A∩B| comes from the posting join; sizes join
-    back broadcast. Library twin: operators/dedupe.ngram_jaccard_pairs."""
+    """Direct n-gram (word-TRIGRAM) Jaccard near-dup pairs (threshold
+    0.5) via a PREFIX-FILTERED inverted index (PPJoin-style, exact):
+    each doc's shingles are globally ordered rarest-first (by document
+    frequency, ties by value); only the first n - ceil(t*n) + 1 are
+    indexed — any pair with Jaccard >= t provably shares an indexed
+    token in BOTH prefixes, so the posting self-join touches only rare
+    postings. A per-row positional filter (see below) prunes candidates
+    before any shuffle; survivors are verified with the exact full-set
+    intersection. The oracle is all-pairs (DuckDB at sf0.01 affords
+    it); the Spark plan is the one that scales. Library twin:
+    operators/dedupe.ngram_jaccard_pairs."""
+    t = 0.5
     d = _t(spark, sf_dir, "documents")
-    sets = _bigram_sets(d)
-    sizes = sets.select("doc_id", F.size("sh").alias("_n"))
-    inv = sets.select("doc_id", F.explode("sh").alias("s"))
-    a, b = inv.alias("a"), inv.alias("b")
-    inter = (
-        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("_inter"))
+    # sets and prefix each feed >=2 plan branches (self-join sides, df
+    # table, verify sides); without persist the shingling pipeline is
+    # recomputed ~5x per run — persist makes each a single computation
+    # (the broadcast-materialization jobs populate the cache first).
+    sets = _trigram_sets(d).persist()  # (doc_id, sh)
+    post = sets.select("doc_id", F.size("sh").alias("n"), F.explode("sh").alias("s"))
+    df_tbl = post.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    ranked = post.join(F.broadcast(df_tbl), "s").withColumn(
+        "rn", F.row_number().over(W.partitionBy("doc_id").orderBy("df", "s"))
     )
-    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("_n").alias("_na"))
-    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("_n").alias("_nb"))
-    jac = F.col("_inter") / (F.col("_na") + F.col("_nb") - F.col("_inter")).cast("double")
+    prefix = ranked.filter(F.col("rn") <= F.col("n") - F.ceil(F.lit(t) * F.col("n")) + 1).select(
+        "doc_id", "n", "rn",
+        F.xxhash64("s").alias("h"),  # long join key: equal strings ⇒ equal hashes;
+        # a collision only loosens the positional bound / adds a spurious
+        # candidate, both of which exact verify kills — never false pruning
+    ).persist()
+    # Materialize both persisted frames EAGERLY, in order: the final
+    # query reads each from several branches at once (broadcast
+    # futures + probe stage), and letting those races populate the
+    # cache concurrently serializes on per-block cache locks.
+    sets.count()
+    prefix.count()
+    # The probe side is explicitly round-robin repartitioned: the prefix
+    # table is only ~KBs per core, so AQE's partition coalescing would
+    # otherwise collapse it to one task — and that one task would then
+    # single-threadedly generate the entire (much larger) join expansion.
+    # An explicit repartition(N) is respected by AQE.
+    par = spark.sparkContext.defaultParallelism
+    a, b = prefix.repartition(par * 4).alias("a"), prefix.alias("b")
+    # The posting self-join BROADCASTS one side: prefix postings are tiny
+    # (O(n_docs * prefix_len) ~ MBs) while a shuffled sort-merge join
+    # would serialize the quadratic expansion of each hot posting list
+    # into single tasks (key skew). Broadcast-hash spreads the expansion
+    # across the probe side's partitions evenly.
+    #
+    # PPJoin positional filter, applied PER MATCH ROW before any shuffle
+    # (exact): every common token of a qualifying pair ranks >= its
+    # min-order shared prefix token, whose match row has positions
+    # (i*, j*), so overlap <= 1 + min(na - i*, nb - j*), which must
+    # reach alpha = ceil(t/(1+t) * (na + nb)). That row itself carries
+    # exactly this bound, so for every qualifying pair at least its
+    # min-order row survives the per-row filter — no false pruning.
+    alpha = F.ceil(F.lit(t / (1 + t)) * (F.col("a.n") + F.col("b.n")))
+    cand = (
+        a.join(
+            F.broadcast(b),
+            (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .filter(1 + F.least(F.col("a.n") - F.col("a.rn"), F.col("b.n") - F.col("b.rn")) >= alpha)
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .distinct()
+        # candidates are byte-small but the verify (set intersection per
+        # row) is CPU-heavy — repartition so AQE's byte-based coalescing
+        # can't serialize the verify into one task
+        .repartition(par * 4)
+    )
+    sa = sets.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("_sha"))
+    sb = sets.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("_shb"))
+    inter = F.size(F.array_intersect("_sha", "_shb"))
+    jac = inter / (F.size("_sha") + F.size("_shb") - inter).cast("double")
     return (
-        inter.join(F.broadcast(sa), "id_a")
+        cand.join(F.broadcast(sa), "id_a")
         .join(F.broadcast(sb), "id_b")
-        .filter(jac >= 0.2)
+        .filter(jac >= t)
         .select("id_a", "id_b", F.round(jac, 4).alias("jaccard"))
     )
 
@@ -1723,4 +1797,126 @@ def schema_evolution_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         "lang",
         F.aggregate("tokens", F.lit(0).cast("long"), lambda a, x: a + x).alias("tok_sum"),
+    )
+
+
+@register(
+    "entry_parse_full",
+    """
+    WITH raw AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 97 = 0 THEN NULL
+                  ELSE '[0, ["' || split_part(text, ' ', 1) || '", ["' || lang || '"]], [' ||
+                       (doc_id * 7) % 50 || ', ' || (doc_id * 13) % 1000 || '], [' ||
+                       (doc_id * 3) % 180 - 90 || ', ' || (doc_id * 11) % 360 - 180 || ']]'
+             END AS blob
+      FROM documents
+    )
+    SELECT doc_id,
+           json_extract_string(blob, '$[1][0]') AS title,
+           json_extract_string(blob, '$[1][1][0]') AS category,
+           TRY_CAST(json_extract(blob, '$[2][0]') AS DOUBLE) AS rating,
+           TRY_CAST(json_extract(blob, '$[2][1]') AS BIGINT) AS review_count,
+           TRY_CAST(json_extract(blob, '$[3][0]') AS DOUBLE) AS lat,
+           TRY_CAST(json_extract(blob, '$[3][1]') AS DOUBLE) AS lon,
+           (doc_id % 97 = 0) AS had_error
+    FROM raw
+    """,
+)
+def entry_parse_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2/X2: the FULL-ROW positional parse as one Arrow-batched
+    mapInPandas UDF (operators/entry_parse.parse_entries) — the
+    reference's EntryFromJSON projection (gmaps/entry.go:263-425) with
+    its panic-recover (:264-270): malformed blobs yield a null row plus
+    an error flag instead of failing the batch. The oracle replays the
+    same positional paths with DuckDB's JSON extractors; blobs embed
+    only integers and strings so both engines agree bit-for-bit."""
+    from etl_gmaps_spark.operators.entry_parse import parse_entries
+
+    d = _t(spark, sf_dir, "documents")
+    blob = F.when(F.col("doc_id") % 97 == 0, F.lit("{not json")).otherwise(
+        F.concat(
+            F.lit('[0, ["'), F.split("text", " ").getItem(0), F.lit('", ["'), F.col("lang"),
+            F.lit('"]], ['), ((F.col("doc_id") * 7) % 50).cast("string"), F.lit(", "),
+            ((F.col("doc_id") * 13) % 1000).cast("string"), F.lit("], ["),
+            ((F.col("doc_id") * 3) % 180 - 90).cast("string"), F.lit(", "),
+            ((F.col("doc_id") * 11) % 360 - 180).cast("string"), F.lit("]]"),
+        )
+    )
+    raw = d.select("doc_id", blob.alias("raw"))
+    parsed = parse_entries(raw, raw_col="raw", keep_cols=["doc_id"])
+    return parsed.select(
+        "doc_id", "title", "category", "rating", "review_count", "lat", "lon",
+        F.col("_error").isNotNull().alias("had_error"),
+    )
+
+
+@register("line_file_scan", sql=None)
+def line_file_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only (S1): the seed-file line scan — optional stable id
+    split on '#!#', blanks dropped, id-less lines get a deterministic
+    content-hash id (reference runner/jobs.go:71-131). The fixture file
+    is derived from `documents` so replays are stable."""
+    import os
+    import tempfile
+
+    from etl_gmaps_spark.sources.files import read_query_lines
+
+    d = _t(spark, sf_dir, "documents").orderBy("doc_id").limit(100).collect()
+    wd = tempfile.mkdtemp(prefix="seed_lines_")
+    path = os.path.join(wd, "queries.txt")
+    with open(path, "w") as fh:
+        for r in d:
+            word = r.text.split(" ")[0]
+            if r.doc_id % 2 == 0:
+                fh.write(f"seed-{r.doc_id:04d}#!#{word} in {r.source}\n")
+            else:
+                fh.write(f"{word} in {r.source}\n")
+            if r.doc_id % 10 == 0:
+                fh.write("\n")  # blank lines must be dropped
+    return read_query_lines(spark, path).orderBy("seed_id")
+
+
+@register("drift_csv_deadletter", sql=None)
+def drift_csv_deadletter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only (S10/T5): drift-tolerant headerless CSV load + dead-
+    letter split — short/long rows are tolerated (padded/truncated, the
+    reference's core_logic.py:473-480 behavior), rows with a type parse
+    error at the declared arity are quarantined. Returns one summary
+    row per bucket."""
+    import os
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from etl_gmaps_spark.sources.files import quarantine_split, read_csv_with_drift
+
+    wd = tempfile.mkdtemp(prefix="drift_csv_")
+    path = os.path.join(wd, "rows.csv")
+    with open(path, "w") as fh:
+        for i in range(200):
+            if i % 19 == 0:
+                fh.write(f"id{i},name{i}\n")  # short row: drift, tolerated
+            elif i % 23 == 0:
+                fh.write(f"id{i},name{i},{i},{i * 2},extra\n")  # long row: drift
+            elif i % 31 == 0:
+                fh.write(f"id{i},name{i},NOT_A_NUMBER,{i * 2}\n")  # type error: dead-letter
+            else:
+                fh.write(f"id{i},name{i},{i},{i * 2}\n")
+    schema = T.StructType(
+        [
+            T.StructField("id", T.StringType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("n", T.IntegerType()),
+            T.StructField("n2", T.LongType()),
+        ]
+    )
+    df = read_csv_with_drift(spark, path, schema)
+    clean, dead = quarantine_split(df)
+    return (
+        clean.select(F.lit("clean").alias("bucket"))
+        .unionAll(dead.select(F.lit("dead_letter").alias("bucket")))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .orderBy("bucket")
     )

@@ -20,14 +20,14 @@ def q(spark, name):
 
 
 def test_ngram_jaccard_matches_minhash_verify(spark):
-    """The inverted-index Jaccard at threshold 0.2 must find exactly the
-    pairs the LSH pipeline verifies at the same threshold (LSH with 2
-    bands of 4 can only lose pairs, never invent them)."""
+    """The prefix+positional-filtered exact trigram Jaccard (threshold
+    0.5) finds the same near-dup PAIRS the bigram MinHash-LSH pipeline
+    verifies (the planted dupes); jaccard values differ (trigram vs
+    bigram) but every reported value clears the threshold."""
     direct = {(r.id_a, r.id_b): r.jaccard for r in q(spark, "ngram_jaccard_dedupe").collect()}
-    lsh = {(r.id_a, r.id_b): r.jaccard for r in q(spark, "minhash_lsh_dedupe").collect()}
-    assert set(lsh) <= set(direct)
-    for k in lsh:
-        assert lsh[k] == direct[k]
+    lsh_pairs = {(r.id_a, r.id_b) for r in q(spark, "minhash_lsh_dedupe").collect()}
+    assert lsh_pairs <= set(direct)
+    assert all(v >= 0.5 for v in direct.values())
 
 
 def test_simhash_hamming_pairs_consistent(spark):
@@ -117,3 +117,35 @@ def test_schema_evolution_e2e_has_lang(spark):
     pdf = df.toPandas()
     assert pdf["lang"].isna().any()  # pre-split rows backfilled null
     assert pdf["lang"].notna().any()  # post-split rows carry the column
+
+
+def test_entry_parse_full_recover_and_values(spark):
+    pdf = q(spark, "entry_parse_full").toPandas().set_index("doc_id")
+    bad = pdf[pdf.index % 97 == 0]
+    good = pdf[pdf.index % 97 != 0]
+    assert bad["had_error"].all() and bad["title"].isna().all()
+    assert not good["had_error"].any()
+    some = good.iloc[0]
+    did = good.index[0]
+    assert some["rating"] == float((did * 7) % 50)
+    assert some["review_count"] == (did * 13) % 1000
+    assert some["lat"] == float((did * 3) % 180 - 90)
+
+
+def test_line_file_scan_ids(spark):
+    rows = q(spark, "line_file_scan").collect()
+    assert len(rows) == 100  # blank lines dropped
+    with_id = [r for r in rows if r.seed_id.startswith("seed-")]
+    assert len(with_id) == 50
+    for r in rows:
+        assert r.query and "#!#" not in r.query
+
+
+def test_drift_csv_deadletter_counts(spark):
+    got = {r.bucket: r.n_rows for r in q(spark, "drift_csv_deadletter").collect()}
+    # 200 rows: i%19==0 short (11 rows), else i%23==0 long (8), else i%31==0
+    # type-error (6): short/long tolerated as clean, type errors quarantined
+    assert got["dead_letter"] == sum(
+        1 for i in range(200) if i % 19 != 0 and i % 23 != 0 and i % 31 == 0
+    )
+    assert got["clean"] + got["dead_letter"] == 200
