@@ -45,6 +45,9 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", "134217728")
     )
+    local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
+    if local_dir:
+        builder = builder.config("spark.local.dir", local_dir)
     for key, val in (extra_conf or {}).items():
         builder = builder.config(key, val)
     spark = builder.getOrCreate()
