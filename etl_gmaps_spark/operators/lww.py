@@ -5,19 +5,31 @@ subset=['link'], keep='first')`` and the FNV deduper gate,
 deduper/hashmap.go:16-42); the north rule inverts this to max-LSN
 last-writer-wins over the change stream.
 
-Skew strategy (north rule: "skew salting on hot doc_id keys"):
+Plan shape (why not a single ``max_by(struct(*), lsn)``): a struct in
+the aggregation buffer is not hash-aggregable — Spark falls back to
+SortAggregate, which sorts every map partition of the full payload by
+key. Instead the reduce is split so the *big* aggregation carries only
+primitives:
 
-``max_by`` is an algebraic aggregate, so Spark already performs a
-map-side partial reduce — each map task collapses its local rows for a
-hot key to ONE row before the shuffle, which is exactly the
-"partial per (key, salt), final per key" two-phase plan with
-salt = map-partition id. We therefore default to the single
-``groupBy(key).agg(max_by(...))`` and let hash aggregation do the
-two phases. ``salt_buckets > 1`` additionally makes the two phases
+  1. ``groupBy(key).agg(max(lsn))`` — pure-primitive buffer, compiles
+     to HashAggregate with a map-side partial: a hot key sends ONE
+     (key, lsn) row per map task into a shuffle of keys only (no token
+     payload).
+  2. left-semi join the log against the (key, max_lsn) pairs — AQE
+     broadcasts the pair side when it fits, so the payload never
+     shuffles here; at worst it shuffles once, same volume as the
+     one-shot plan but with no sort.
+  3. a final ``max_by`` over the joined candidates — at most one row
+     per key per replayed-epoch duplicate, so this (sort) aggregate
+     runs on winner-sized data, not the event stream.
+
+Skew strategy (north rule: "skew salting on hot doc_id keys"): the
+map-side partial in step 1 already collapses a hot key to one row per
+map task. ``salt_buckets > 1`` additionally makes the two phases
 explicit (partial per (key, pmod(xxhash64(lsn), S)), final per key)
-for the adversarial case where a single reducer's *final* merge of
-per-map partials is still hot (e.g. 100k map tasks × 1 hot key);
-both plans produce identical results (see tests/test_lww.py).
+for the adversarial case where even the *final* merge of per-map
+partials is hot (e.g. 100k map tasks x 1 hot key); both plans produce
+identical results (see tests/test_lww.py).
 """
 
 from __future__ import annotations
@@ -38,21 +50,25 @@ def lww_winners(
     copy winning is correct. Output schema == input schema.
     """
     cols = log.columns
-    row = F.struct(*[F.col(c) for c in cols])
     if salt_buckets and salt_buckets > 1:
-        # phase 1: partial winner per (key, salt) — spreads one hot key
-        # over `salt_buckets` reducers; phase 2: final winner per key
-        # over at most `salt_buckets` rows/key.
+        # phase 1: partial max per (key, salt) — spreads one hot key
+        # over `salt_buckets` reducers; phase 2: final max per key over
+        # at most `salt_buckets` rows/key.
         salt = F.pmod(F.xxhash64(F.col(lsn_col)), F.lit(salt_buckets)).alias("_salt")
-        partial = (
-            log.groupBy(F.col(key_col), salt)
-            .agg(F.max_by(row, F.col(lsn_col)).alias("_w"), F.max(lsn_col).alias("_max_lsn"))
-        )
-        final = partial.groupBy(key_col).agg(
-            F.max_by(F.col("_w"), F.col("_max_lsn")).alias("_w")
-        )
+        partial = log.groupBy(F.col(key_col), salt).agg(F.max(lsn_col).alias("_max_lsn"))
+        win = partial.groupBy(key_col).agg(F.max("_max_lsn").alias("_max_lsn"))
     else:
-        final = log.groupBy(key_col).agg(F.max_by(row, F.col(lsn_col)).alias("_w"))
+        win = log.groupBy(key_col).agg(F.max(lsn_col).alias("_max_lsn"))
+    cand = log.alias("_l").join(
+        win.alias("_w"),
+        (F.col(f"_l.{key_col}") == F.col(f"_w.{key_col}"))
+        & (F.col(f"_l.{lsn_col}") == F.col("_w._max_lsn")),
+        "leftsemi",
+    )
+    # replayed epochs duplicate the winning row byte-identically; this
+    # final reduce runs on winner-sized data (>=1 dup rows per key).
+    row = F.struct(*[F.col(c) for c in cols])
+    final = cand.groupBy(key_col).agg(F.max_by(row, F.col(lsn_col)).alias("_w"))
     return final.select(*[F.col(f"_w.{c}").alias(c) for c in cols])
 
 

@@ -82,8 +82,11 @@ def cdc_lww_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A5: last-writer-wins final state of a change stream. The events
     table is read as a binlog (event_id = lsn, user_id = key,
     event_type 'error' = delete); per-key max-LSN winner via the same
-    max_by aggregate the engine's LWW reduce uses (operators/lww.py) —
-    partial-aggregated map-side, no window sort."""
+    two-phase reduce the engine uses (operators/lww.py): hash-aggregate
+    max(lsn) map-side, semi-join back — no window sort, no struct in
+    the aggregation buffer."""
+    from etl_gmaps_spark.operators.lww import lww_winners
+
     ev = _t(spark, sf_dir, "events")
     log = ev.select(
         "user_id",
@@ -91,15 +94,13 @@ def cdc_lww_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("event_type") == "error", F.lit("D")).otherwise(F.lit("U")).alias("op"),
         "value",
     )
-    w = log.groupBy("user_id").agg(
-        F.max_by(F.struct("lsn", "op", "value"), F.col("lsn")).alias("_w")
-    )
+    w = lww_winners(log, key_col="user_id", lsn_col="lsn")
     return (
-        w.filter(F.col("_w.op") != "D")
+        w.filter(F.col("op") != "D")
         .select(
             "user_id",
-            F.col("_w.lsn").alias("last_lsn"),
-            F.round(F.col("_w.value"), 2).alias("last_value"),
+            F.col("lsn").alias("last_lsn"),
+            F.round(F.col("value"), 2).alias("last_value"),
         )
     )
 
@@ -171,16 +172,16 @@ def cdc_lww_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ),
     )
-    w = toks.groupBy("doc_id").agg(
-        F.max_by(F.struct("op", "n_tok", "tok_sum", "source"), F.col("lsn")).alias("_w")
-    )
+    from etl_gmaps_spark.operators.lww import lww_winners
+
+    w = lww_winners(toks, key_col="doc_id", lsn_col="lsn")
     return (
-        w.filter(F.col("_w.op") != "D")
+        w.filter(F.col("op") != "D")
         .select(
             F.format_string("doc-%08d", F.col("doc_id")).alias("doc_id"),
-            F.col("_w.n_tok").alias("n_tok"),
-            F.col("_w.tok_sum").alias("tok_sum"),
-            F.col("_w.source").alias("source"),
+            F.col("n_tok"),
+            F.col("tok_sum"),
+            F.col("source"),
         )
     )
 

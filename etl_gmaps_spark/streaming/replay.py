@@ -127,18 +127,21 @@ class Replayer:
         snap = self.table.snapshot()
         n_buckets = snap["n_buckets"]
 
-        # ONE scan + ONE shuffle produces both the LWW winners and the
-        # per-partition lineage stats: group by key, aggregate the
-        # winning row (max_by — duplicate-insensitive, so replayed
-        # byte-identical rows need no dedup shuffle; J2/T6 analog,
-        # deduper/hashmap.go:16-42) alongside the lineage counters,
-        # which dedupe exactly via count_distinct(lsn). The tiny
-        # second-level rollup key→bucket runs on ~|keys| rows.
+        # ONE primitive-only hash aggregation produces the per-key
+        # lineage counters AND the winning lsn: the aggregation buffer
+        # holds only longs/timestamps, so Spark plans a HashAggregate
+        # with a map-side partial — a hot doc_id sends one row of
+        # counters per map task into a shuffle of keys only (no token
+        # payload; counters dedupe replayed byte-identical rows exactly
+        # via count_distinct(lsn)). The winner ROWS come from a
+        # semi-join of the batch against the tiny (key, last_lsn) set
+        # (AQE broadcasts it when it fits — the payload then never
+        # shuffles before the MERGE), plus a winner-sized max_by to
+        # collapse replayed duplicates. See operators/lww.py for why
+        # this beats a single max_by(struct(*), lsn) (SortAggregate).
         cols = batch.columns
-        row = F.struct(*[F.col(c) for c in cols])
         ev_bytes = F.coalesce(F.col("n_tok") * 4, F.lit(0)) + F.length(self.key_col) + 16
         aggs = [
-            F.max_by(row, F.col(self.lsn_col)).alias("_w"),
             F.count(F.lit(1)).alias("_raw_rows"),
             F.count_distinct(F.col(self.lsn_col)).alias("rows_applied"),
             F.max(self.lsn_col).alias("last_lsn"),
@@ -155,7 +158,6 @@ class Replayer:
             per_key = (
                 partial.groupBy(self.key_col)
                 .agg(
-                    F.max_by(F.col("_w"), F.col("last_lsn")).alias("_w"),
                     F.sum("_raw_rows").alias("_raw_rows"),
                     F.sum("rows_applied").alias("rows_applied"),
                     F.max("last_lsn").alias("last_lsn"),
@@ -178,11 +180,25 @@ class Replayer:
             )
         )
         payload_cols = [c for c in cols if c not in ENVELOPE_COLS and c != self.op_col]
-        src = per_key.select(
-            *[
-                F.col(f"_w.{c}").alias(c)
-                for c in [self.op_col, self.lsn_col] + payload_cols
-            ]
+        win = per_key.select(F.col(self.key_col).alias("_w_key"), "last_lsn")
+        cand = batch.alias("_b").join(
+            win.alias("_w"),
+            (F.col(f"_b.{self.key_col}") == F.col("_w._w_key"))
+            & (F.col(f"_b.{self.lsn_col}") == F.col("_w.last_lsn")),
+            "leftsemi",
+        )
+        row = F.struct(*[F.col(c) for c in cols])
+        src = (
+            cand.groupBy(self.key_col)
+            .agg(F.max_by(row, F.col(self.lsn_col)).alias("_w"))
+            .select(
+                F.col(f"_w.{self.key_col}").alias(self.key_col),
+                *[
+                    F.col(f"_w.{c}").alias(c)
+                    for c in [self.op_col, self.lsn_col] + payload_cols
+                    if c != self.key_col
+                ],
+            )
         )
         stats_rows = [r.asDict() for r in stats_df.collect()]
         if any(r["_raw_rows"] != r["rows_applied"] for r in stats_rows):
