@@ -24,6 +24,15 @@ def valid_email(email: Column) -> Column:
     return email.rlike(f"^{EMAIL_RE}$")
 
 
+def valid_entry(title: Column, category: Column) -> Column:
+    """P5: row-admission rule — a parsed entry is valid iff title AND
+    category are non-empty (reference Entry.Validate,
+    gmaps/entry.go:145-155)."""
+    return (
+        title.isNotNull() & (title != "") & category.isNotNull() & (category != "")
+    )
+
+
 def eligible_for_email(website: Column) -> Column:
     """P6: non-empty website not pointing at a social network
     (reference gmaps/entry.go:125-143 — including its 'instragram'

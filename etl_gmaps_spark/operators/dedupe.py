@@ -236,18 +236,47 @@ def embedding_cosine_pairs(
     vec_col: str = "embedding",
     threshold: float = 0.95,
     lsh_planes: int = 0,
+    lsh_bands: int = 1,
     seed: int = 42,
 ) -> DataFrame:
     """Embedding near-dup pairs by cosine similarity.
 
     lsh_planes=0: all-pairs (test scale only). lsh_planes=k: random-
     hyperplane LSH — pairs are only compared within a sign-bucket, the
-    scale path (expected candidates ≈ n^2 / 2^k per bucket family)."""
+    scale path.
+
+    SIZING (the part that matters at 10^9+ vectors): expected in-bucket
+    pair count is ~ n^2 / 2^k, so k must GROW with the corpus — use
+    k ≈ 2·log2(n) to keep expected bucket occupancy ~1 (n=10^9 →
+    k ≈ 60, capped at 62 for the long bucket). A single k-plane band
+    has recall (1 - θ/π)^k for angle θ, which collapses for large k, so
+    pair large k with ``lsh_bands`` > 1 independent bands OR'd together
+    (candidate iff same bucket in ANY band) — the standard
+    bands/rows LSH trade: recall 1 - (1 - p^k)^b. Each band uses an
+    independent LCG seed; candidates are deduped before emit."""
     norm = F.sqrt(F.aggregate(vec_col, F.lit(0.0), lambda a, x: a + x * x))
     base = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"), norm.alias("_n"))
     if lsh_planes:
-        base = base.withColumn("_bkt", _hyperplane_bucket("_v", lsh_planes, seed))
-        join_cond = lambda a, b: (F.col("a._bkt") == F.col("b._bkt")) & (F.col("a._id") < F.col("b._id"))  # noqa: E731
+        bands = max(1, lsh_bands)
+        base = base.select(
+            "_id", "_v", "_n",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(bd).alias("band"),
+                            _hyperplane_bucket("_v", lsh_planes, seed + bd * 104729).alias("bkt"),
+                        )
+                        for bd in range(bands)
+                    ]
+                )
+            ).alias("_bb"),
+        ).select("_id", "_v", "_n", F.col("_bb.band").alias("_band"), F.col("_bb.bkt").alias("_bkt"))
+        join_cond = lambda a, b: (  # noqa: E731
+            (F.col("a._band") == F.col("b._band"))
+            & (F.col("a._bkt") == F.col("b._bkt"))
+            & (F.col("a._id") < F.col("b._id"))
+        )
     else:
         join_cond = lambda a, b: F.col("a._id") < F.col("b._id")  # noqa: E731
     a = base.alias("a")
@@ -258,9 +287,11 @@ def embedding_cosine_pairs(
         F.col("b._id").alias("id_b"),
         (dot / (F.col("a._n") * F.col("b._n"))).alias("cosine"),
     )
-    return pairs.filter(F.col("cosine") >= threshold).select(
+    out = pairs.filter(F.col("cosine") >= threshold).select(
         "id_a", "id_b", F.round("cosine", 4).alias("cosine")
     )
+    # multi-band OR finds the same pair in >1 band — dedupe before emit
+    return out.dropDuplicates(["id_a", "id_b"]) if lsh_planes and lsh_bands > 1 else out
 
 
 def _hyperplane_bucket(vec_col: str, planes: int, seed: int):

@@ -1333,11 +1333,11 @@ def _trigram_sets(d: DataFrame) -> DataFrame:
     )
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
            round(len(list_intersect(a.sh, b.sh)) /
-                 (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))::DOUBLE, 4)
+                 NULLIF(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)), 0)::DOUBLE, 4)
              AS jaccard
     FROM sets a JOIN sets b ON a.doc_id < b.doc_id
     WHERE len(list_intersect(a.sh, b.sh)) /
-          (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))::DOUBLE >= 0.5
+          NULLIF(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)), 0)::DOUBLE >= 0.5
     """,
 )
 def ngram_jaccard_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1413,13 +1413,27 @@ def ngram_jaccard_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
     sa = sets.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("_sha"))
     sb = sets.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("_shb"))
     inter = F.size(F.array_intersect("_sha", "_shb"))
-    jac = inter / (F.size("_sha") + F.size("_shb") - inter).cast("double")
-    return (
+    # nullif-guard: a short doc (<3 words) has an empty shingle set; its
+    # union size is 0 and 0/0 must be no-pair, not an ANSI divide error
+    # (can't happen via cand — empty sets index nothing — but keeps the
+    # expression total if datagen changes; the oracle mirrors w/ NULLIF)
+    union = F.nullif((F.size("_sha") + F.size("_shb") - inter).cast("double"), F.lit(0.0))
+    jac = inter / union
+    result = (
         cand.join(F.broadcast(sa), "id_a")
         .join(F.broadcast(sb), "id_b")
         .filter(jac >= t)
         .select("id_a", "id_b", F.round(jac, 4).alias("jaccard"))
+        .persist()
     )
+    # eagerly materialize the (tiny) result, then release the big
+    # intermediate caches — otherwise they leak for the session when the
+    # driver runs the whole 45-query catalog (ADVICE r1). The row-count
+    # result cache itself is O(pairs) and negligible.
+    result.count()
+    sets.unpersist()
+    prefix.unpersist()
+    return result
 
 
 _SIMHASH_BITS_SQL = " + ".join(
@@ -1630,7 +1644,12 @@ def email_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     addresses; all matches extracted, deduped, sorted for a canonical
     hash. Pure regexp_extract_all + array ops — no UDF."""
     d = _t(spark, sf_dir, "documents")
-    body = F.concat(
+    # concat_ws, not concat: a 1-word doc has a null second word, which
+    # would null-propagate the whole body under concat while DuckDB's
+    # split_part yields '' — concat_ws skips nulls, matching '' (ADVICE
+    # r1; not reachable at current datagen word counts, kept total)
+    body = F.concat_ws(
+        "",
         F.lit("contact "), F.split("text", " ").getItem(0), F.lit("@"), F.col("source"),
         F.lit(".com or mailto:"), F.split("text", " ").getItem(1),
         F.lit("@example.org thanks "), F.split("text", " ").getItem(0), F.lit("@"),
@@ -1921,3 +1940,447 @@ def drift_csv_deadletter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_rows"))
         .orderBy("bucket")
     )
+
+
+# =====================================================================
+# Batch 5 (round 2): export sinks, 1->N parse, map builders, validity,
+# email validate/write-back, schema'd from_json, ledger query surface
+# =====================================================================
+
+
+@register(
+    "validity_filter",
+    """
+    WITH e AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 11 = 0 THEN ''
+                  WHEN doc_id % 13 = 0 THEN NULL
+                  ELSE split_part(text, ' ', 1) END AS title,
+             CASE WHEN doc_id % 17 = 0 THEN '' ELSE lang END AS category
+      FROM documents
+    )
+    SELECT doc_id, title, category FROM e
+    WHERE title IS NOT NULL AND title <> ''
+      AND category IS NOT NULL AND category <> ''
+    """,
+)
+def validity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5: the row-admission rule — drop entries with an empty/null
+    title or category (reference Entry.Validate, gmaps/entry.go:145-155)
+    over synthesized invalid rows. Pure filter; at scale this is a
+    pushed-down predicate ahead of every downstream shuffle."""
+    from etl_gmaps_spark.functions import valid_entry
+
+    d = _t(spark, sf_dir, "documents")
+    title = (
+        F.when(F.col("doc_id") % 11 == 0, F.lit(""))
+        .when(F.col("doc_id") % 13 == 0, F.lit(None))
+        .otherwise(F.split("text", " ").getItem(0))
+    )
+    category = F.when(F.col("doc_id") % 17 == 0, F.lit("")).otherwise(F.col("lang"))
+    e = d.select("doc_id", title.alias("title"), category.alias("category"))
+    return e.filter(valid_entry(F.col("title"), F.col("category")))
+
+
+@register(
+    "search_results_parse",
+    """
+    SELECT doc_id,
+           format('e-{}-{}', doc_id, i) AS entry_id,
+           split_part(text, ' ', CAST(i AS INT)) AS title,
+           round(((doc_id * 7 + i) % 50) / 10.0, 1) AS rating,
+           (doc_id * 13 + i) % 1000 AS review_count
+    FROM documents CROSS JOIN (SELECT unnest(range(1, 4)) AS i) ii
+    """,
+)
+def search_results_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4/X2: the search-results list parse — ONE raw blob explodes to
+    N lightweight entries, skipping the header element (reference
+    ParseSearchResults, gmaps/multiple.go:11-81: items from index 1).
+    Spark-first: from_json to array<array<string>> + posexplode — the
+    1->N fan-out runs as a generator inside whole-stage codegen, no
+    UDF. The oracle computes the expected rows directly from the
+    deterministic blob construction."""
+    from pyspark.sql import types as T
+
+    d = _t(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+
+    def ent(i: int):
+        return F.array(
+            F.format_string("e-%d-%d", F.col("doc_id"), F.lit(i)),
+            words.getItem(i - 1),
+            F.format_string("%.1f", (F.col("doc_id") * 7 + i) % 50 / 10.0),
+            ((F.col("doc_id") * 13 + i) % 1000).cast("string"),
+        )
+
+    blob = F.to_json(F.array(F.array(F.lit("header")), ent(1), ent(2), ent(3)))
+    raw = d.select("doc_id", blob.alias("blob"))
+    items = F.from_json("blob", T.ArrayType(T.ArrayType(T.StringType())))
+    ex = raw.select("doc_id", F.posexplode(items).alias("pos", "e")).filter(F.col("pos") >= 1)
+    return ex.select(
+        "doc_id",
+        F.col("e").getItem(0).alias("entry_id"),
+        F.col("e").getItem(1).alias("title"),
+        F.col("e").getItem(2).cast("double").alias("rating"),
+        F.col("e").getItem(3).cast("long").alias("review_count"),
+    )
+
+
+@register(
+    "address_struct_parse",
+    """
+    SELECT c_custkey,
+           c_name AS street,
+           c_mktsegment AS city,
+           format('{:05d}', c_custkey % 100000) AS zip,
+           'US' AS country,
+           CAST(NULL AS VARCHAR) AS state,
+           c_name || ', ' || c_mktsegment || ', ' ||
+             format('{:05d}', c_custkey % 100000) AS full_address
+    FROM customer
+    """,
+)
+def address_struct_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F11: schema'd from_json struct parse — the complete_address JSON
+    column parsed with an explicit StructType (reference
+    core_logic.py:290-297 json.loads of complete_address into
+    borough/street/city fields), not positional paths. A field declared
+    in the schema but absent from the JSON ('state') yields a typed
+    null — the drift-tolerant read. Roundtrip is Catalyst-only:
+    to_json -> from_json -> field projection, no UDF."""
+    from pyspark.sql import types as T
+
+    c = _t(spark, sf_dir, "customer")
+    blob = F.to_json(
+        F.struct(
+            F.col("c_name").alias("street"),
+            F.col("c_mktsegment").alias("city"),
+            F.format_string("%05d", (F.col("c_custkey") % 100000).cast("int")).alias("zip"),
+            F.lit("US").alias("country"),
+        )
+    )
+    schema = T.StructType(
+        [
+            T.StructField("street", T.StringType()),
+            T.StructField("city", T.StringType()),
+            T.StructField("zip", T.StringType()),
+            T.StructField("country", T.StringType()),
+            T.StructField("state", T.StringType()),  # absent in JSON -> null
+        ]
+    )
+    st = F.from_json(blob, schema).alias("_a")
+    parsed = c.select("c_custkey", st)
+    return parsed.select(
+        "c_custkey",
+        F.col("_a.street").alias("street"),
+        F.col("_a.city").alias("city"),
+        F.col("_a.zip").alias("zip"),
+        F.col("_a.country").alias("country"),
+        F.col("_a.state").alias("state"),
+        F.concat_ws(", ", F.col("_a.street"), F.col("_a.city"), F.col("_a.zip")).alias(
+            "full_address"
+        ),
+    )
+
+
+@register(
+    "hours_maps",
+    """
+    WITH days AS (
+      SELECT doc_id, unnest([doc_id % 7 + 1, (doc_id + 3) % 7 + 1]) AS d
+      FROM documents
+    ), named AS (
+      SELECT doc_id, d,
+             ['Monday','Tuesday','Wednesday','Thursday','Friday','Saturday','Sunday'][CAST(d AS INT)]
+               AS day_name,
+             (doc_id * 3 + d) % 12 + 7 AS a
+      FROM days
+    ), open_str AS (
+      SELECT doc_id,
+             string_agg(day_name || ':' ||
+                        format('{:02d}:00-{:02d}:00', a, a + 4) || '|' ||
+                        format('{:02d}:30-{:02d}:30', a + 1, a + 5),
+                        ';' ORDER BY day_name) AS open_hours
+      FROM named GROUP BY doc_id
+    ), pop AS (
+      SELECT doc_id, day_name,
+             string_agg(format('{}={}', h, (doc_id * 31 + d * 7 + h) % 100),
+                        ',' ORDER BY h) AS inner_s
+      FROM named CROSS JOIN (SELECT unnest(range(3)) AS h) hh
+      GROUP BY doc_id, day_name, d
+    ), pop_str AS (
+      SELECT doc_id, string_agg(day_name || ':' || inner_s, ';' ORDER BY day_name) AS popular_times
+      FROM pop GROUP BY doc_id
+    )
+    SELECT o.doc_id, o.open_hours, p.popular_times
+    FROM open_str o JOIN pop_str p USING (doc_id)
+    """,
+)
+def hours_maps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F9/F10: REAL MapType builders — getHours' map<day, times[]>
+    (reference gmaps/entry.go:498-517) and getPopularTimes' nested
+    map<day_name, map<hour, busy>> (:519-568) built with
+    map_from_entries over transform lambdas (functions/hours.py), then
+    rendered to canonical sorted strings FROM the map columns
+    themselves (map_entries) so the DuckDB oracle can hash them. The
+    MapType genuinely materializes in the plan; everything is
+    whole-stage-codegen Column expressions."""
+    from etl_gmaps_spark.functions.hours import (
+        canonical_hours_string,
+        canonical_map_string,
+        hours_map,
+        popular_times_map,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    d1 = (F.col("doc_id") % 7 + 1).cast("int")
+    d2 = ((F.col("doc_id") + 3) % 7 + 1).cast("int")
+
+    def open_slot(dnum):
+        a = (F.col("doc_id") * 3 + dnum) % 12 + 7
+        from etl_gmaps_spark.functions.hours import day_name_expr
+
+        return F.struct(
+            day_name_expr(dnum).alias("day"),
+            F.array(
+                F.format_string("%02d:00-%02d:00", a.cast("int"), (a + 4).cast("int")),
+                F.format_string("%02d:30-%02d:30", (a + 1).cast("int"), (a + 5).cast("int")),
+            ).alias("times"),
+        )
+
+    def pop_slot(dnum):
+        return F.struct(
+            dnum.alias("day"),
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(h).alias("hour"),
+                        ((F.col("doc_id") * 31 + dnum * 7 + h) % 100).cast("int").alias("busy"),
+                    )
+                    for h in range(3)
+                ]
+            ).alias("times"),
+        )
+
+    oh = hours_map(F.array(open_slot(d1), open_slot(d2)))
+    pt = popular_times_map(F.array(pop_slot(d1), pop_slot(d2)))
+    return d.select(
+        "doc_id",
+        canonical_hours_string(oh).alias("open_hours"),
+        canonical_map_string(pt).alias("popular_times"),
+    )
+
+
+@register(
+    "email_validate",
+    r"""
+    WITH c AS (
+      SELECT doc_id,
+             CASE CAST(doc_id % 4 AS INT)
+               WHEN 0 THEN split_part(text, ' ', 1) || '@' || source || '.com'
+               WHEN 1 THEN split_part(text, ' ', 1) || '.at.' || source || '.com'
+               WHEN 2 THEN upper(split_part(text, ' ', 1)) || '+tag@' || source || '.org'
+               ELSE split_part(text, ' ', 1) || '@' || source
+             END AS candidate
+      FROM documents
+    )
+    SELECT doc_id, candidate,
+           regexp_matches(candidate,
+             '^[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}$') AS is_valid
+    FROM c
+    """,
+)
+def email_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4: syntactic email validation (reference gmaps/emailjob.go:132-139
+    getValidEmail) over synthesized candidates — valid plain, missing
+    '@', plus-tagged uppercase (valid), and TLD-less (invalid). The
+    anchored regex runs JVM-side via rlike; the oracle anchors the same
+    RE2-safe pattern."""
+    from etl_gmaps_spark.functions import valid_email
+
+    d = _t(spark, sf_dir, "documents")
+    w0 = F.split("text", " ").getItem(0)
+    cand = (
+        F.when(F.col("doc_id") % 4 == 0, F.concat_ws("", w0, F.lit("@"), F.col("source"), F.lit(".com")))
+        .when(F.col("doc_id") % 4 == 1, F.concat_ws("", w0, F.lit(".at."), F.col("source"), F.lit(".com")))
+        .when(F.col("doc_id") % 4 == 2, F.concat_ws("", F.upper(w0), F.lit("+tag@"), F.col("source"), F.lit(".org")))
+        .otherwise(F.concat_ws("", w0, F.lit("@"), F.col("source")))
+    )
+    c = d.select("doc_id", cand.alias("candidate"))
+    return c.select("doc_id", "candidate", valid_email(F.col("candidate")).alias("is_valid"))
+
+
+@register(
+    "email_writeback",
+    r"""
+    WITH ext AS (
+      SELECT doc_id,
+             array_to_string(list_sort(list_distinct(regexp_extract_all(
+               'reach us at ' || split_part(text, ' ', 1) || '@' || source || '.com',
+               '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}'))), ',') AS emails_new
+      FROM documents WHERE doc_id % 2 = 0
+    )
+    SELECT d.doc_id,
+           'https://' || split_part(d.text, ' ', 1) || '.' || d.source || '.example.com' AS website,
+           coalesce(e.emails_new,
+                    CASE WHEN d.doc_id % 5 = 0 THEN 'old@' || d.source || '.com' END,
+                    '') AS emails
+    FROM documents d LEFT JOIN ext e USING (doc_id)
+    """,
+)
+def email_writeback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4: the email write-back fusion — extraction results LEFT-joined
+    back onto the entry table, new emails overriding the stored value
+    via coalesce (reference EmailExtractJob.Process,
+    gmaps/emailjob.go:55-89: j.Entry.Emails = emails, entry otherwise
+    unchanged). At scale the extracted side is the small one and
+    broadcasts; the entries table never shuffles."""
+    from etl_gmaps_spark.functions import extract_emails
+
+    d = _t(spark, sf_dir, "documents")
+    w0 = F.split("text", " ").getItem(0)
+    entries = d.select(
+        "doc_id",
+        F.concat_ws("", F.lit("https://"), w0, F.lit("."), F.col("source"), F.lit(".example.com")).alias("website"),
+        F.when(
+            F.col("doc_id") % 5 == 0, F.concat_ws("", F.lit("old@"), F.col("source"), F.lit(".com"))
+        ).alias("emails_old"),
+    )
+    body = F.concat_ws("", F.lit("reach us at "), w0, F.lit("@"), F.col("source"), F.lit(".com"))
+    extracted = (
+        d.filter(F.col("doc_id") % 2 == 0)
+        .select("doc_id", F.array_join(F.array_sort(extract_emails(body)), ",").alias("emails_new"))
+    )
+    return (
+        entries.join(F.broadcast(extracted), "doc_id", "left")
+        .select(
+            "doc_id",
+            "website",
+            F.coalesce("emails_new", "emails_old", F.lit("")).alias("emails"),
+        )
+    )
+
+
+@register(
+    "latest_jobs",
+    """
+    SELECT event_id, event_type, CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec
+    FROM events ORDER BY ts DESC, event_id DESC LIMIT 15
+    """,
+)
+def latest_jobs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O3: latest-jobs listing — ORDER BY created_at DESC LIMIT n (the
+    reference's job list query, web/sqlite/sqlite.go:59-101). Compiles
+    to TakeOrderedAndProject (no global sort); event_id breaks ts
+    ties so the LIMIT set is deterministic."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.orderBy(F.desc("ts"), F.desc("event_id"))
+        .limit(15)
+        .select("event_id", "event_type", F.unix_timestamp("ts").cast("long").alias("ts_sec"))
+    )
+
+
+@register(
+    "csv_export_roundtrip",
+    """
+    SELECT doc_id,
+           split_part(text, ' ', 1) AS title,
+           '["' || lang || '","' || source || '"]' AS categories,
+           '{"city":"' || upper(lang) || '","country":"US"}' AS address,
+           (doc_id * 13) % 1000 AS review_count
+    FROM documents
+    """,
+)
+def csv_export_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5: the CSV result sink — nested columns (array, struct)
+    JSON-stringified into cells exactly as the reference's CsvRow does
+    (gmaps/entry.go:195-231 stringify(...); writer wiring
+    runner/filerunner/filerunner.go:159-182), written distributed and
+    read back with a declared schema. The oracle reconstructs the
+    stringified cells directly, proving the sink's cell encoding."""
+    import tempfile
+
+    from etl_gmaps_spark.sinks import write_csv
+
+    d = _t(spark, sf_dir, "documents")
+    rows = d.select(
+        "doc_id",
+        F.split("text", " ").getItem(0).alias("title"),
+        F.array("lang", "source").alias("categories"),
+        F.struct(F.upper("lang").alias("city"), F.lit("US").alias("country")).alias("address"),
+        ((F.col("doc_id") * 13) % 1000).alias("review_count"),
+    )
+    out = tempfile.mkdtemp(prefix="csv_sink_") + "/entries"
+    write_csv(rows, out, header=True)
+    return spark.read.schema(
+        "doc_id long, title string, categories string, address string, review_count long"
+    ).option("header", "true").csv(out)
+
+
+@register(
+    "json_export_roundtrip",
+    """
+    SELECT doc_id, lang, source, n_chars,
+           split_part(text, ' ', 1) || ' ' || split_part(text, ' ', 2) || ' ' ||
+             split_part(text, ' ', 3) AS w3
+    FROM documents
+    """,
+)
+def json_export_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6: the JSON-lines result sink (reference jsonwriter via
+    runner/filerunner/filerunner.go:176-178) — rows with a nested array
+    column written as JSON lines, read back with a declared schema
+    (arrays stay arrays, unlike the CSV cell encoding)."""
+    import tempfile
+
+    from etl_gmaps_spark.sinks import write_json
+
+    d = _t(spark, sf_dir, "documents")
+    rows = d.select(
+        "doc_id", "lang", "source", "n_chars",
+        F.slice(F.split("text", " "), 1, 3).alias("words"),
+    )
+    out = tempfile.mkdtemp(prefix="json_sink_") + "/entries"
+    write_json(rows, out)
+    back = spark.read.schema(
+        "doc_id long, lang string, source string, n_chars long, words array<string>"
+    ).json(out)
+    return back.select(
+        "doc_id", "lang", "source", "n_chars", F.array_join("words", " ").alias("w3")
+    )
+
+
+@register(
+    "ledger_commits",
+    """
+    SELECT * FROM (VALUES (4, 'ok', 2, 1000), (3, 'ok', 1, 1000))
+      AS t(snapshot, status, epoch, events)
+    """,
+)
+def ledger_commits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4: the job-ledger query surface — replay a 3-epoch binlog
+    through the engine, then SELECT the latest 2 commits from the
+    epoch ledger (SnapshotTable.commit_log: status filter + newest-
+    first + LIMIT, mirroring web/sqlite/sqlite.go:59-101). The oracle
+    is the exact expected ledger: snapshots 3-4 apply epochs 1-2 with
+    exactly epoch_size=1000 distinct events each (the duplicated epoch
+    2 dedupes to 1000 — T2 exactly-once made visible through S4)."""
+    import tempfile
+
+    from etl_gmaps_spark.datagen import gen_base, gen_changelog
+    from etl_gmaps_spark.schemas import TARGET_SCHEMA
+    from etl_gmaps_spark.streaming.replay import Replayer
+    from etl_gmaps_spark.tableio import SnapshotTable
+
+    wd = tempfile.mkdtemp(prefix="cdc_ledger_")
+    base = gen_base(spark, n_docs=200, seed=5)
+    log = gen_changelog(spark, n_docs=200, n_events=3000, seed=5, epoch_size=1000)
+    table = SnapshotTable.create(spark, f"{wd}/tbl", TARGET_SCHEMA, n_buckets=8, base_df=base)
+    Replayer(table).run(log)
+    rows = [
+        (int(c["snapshot"]), str(c["status"]), int(c["epochs"][0]), int(c["events"]))
+        for c in table.commit_log(latest=2, status="ok")
+    ]
+    return spark.createDataFrame(rows, "snapshot int, status string, epoch int, events int")

@@ -16,13 +16,26 @@ Layout:
 Scale design:
   * rows are hash-bucketed on the merge key: ``pmod(xxhash64(key), B)``
     — the analog of Iceberg's ``bucket(B, doc_id)`` partition transform
-    (FIXTURES.md #1). Every MERGE co-partitions source and target on
-    the same function, so the join never shuffles the un-touched data.
+    (FIXTURES.md #1). Bucket pruning is METADATA-level: a merge never
+    *reads* untouched buckets at all (read_buckets loads only the
+    touched file set). Within the touched set, though, Spark has no
+    bucketing metadata for raw parquet files, so the full-outer MERGE
+    join at merge() DOES shuffle both sides of the touched buckets —
+    "co-partitioned" holds at bucket granularity (pruning), not at
+    shuffle granularity. On a real Iceberg catalog with storage-
+    partitioned joins, the same plan becomes shuffle-free.
   * copy-on-write at **bucket granularity**: a merge rewrites only the
     buckets containing touched keys; untouched buckets are referenced
     from the parent snapshot. A batch touching 1% of keys rewrites
     ~1% of the table (with B sized so a bucket ≈ a few GB at target
-    scale), not 100%.
+    scale), not 100%. Write amplification caveat: a UNIFORM batch
+    touching all buckets rewrites the whole table per epoch (CoW).
+    The mitigations are (a) epoch grouping — ``batch_epochs`` commits
+    k epochs per snapshot, dividing rewrites by k; (b) many buckets +
+    skewed/clustered batches, where pruning bites; (c) a merge-on-read
+    delete-file design, which trades it for read amplification (not
+    implemented — out of scope for this round, noted for parity with
+    Iceberg v2 MoR).
   * commit = data files first, then snapshot json (O_EXCL — two racing
     writers cannot both create v{N}.json), then pointer rename (atomic
     on POSIX). A crash before the pointer flip leaves the table at the
@@ -175,6 +188,25 @@ class SnapshotTable:
 
     def applied_epochs(self) -> set[int]:
         return set(self.properties().get("epochs", []))
+
+    def commit_log(
+        self,
+        latest: int | None = None,
+        status: str | None = None,
+        epoch: int | None = None,
+    ) -> list[dict]:
+        """S4/O3: the job-ledger query surface (reference
+        web/sqlite/sqlite.go:59-101: SELECT .. [WHERE status = ?]
+        ORDER BY created_at DESC [LIMIT ?]). Commits are the jobs;
+        snapshot version is the creation order. Driver-side (ledger
+        lives in snapshot properties — no Spark job)."""
+        rows = [dict(c) for c in self.properties().get("commits", [])]
+        rows.sort(key=lambda c: -c["snapshot"])
+        if status is not None:
+            rows = [c for c in rows if c.get("status") == status]
+        if epoch is not None:
+            rows = [c for c in rows if epoch in c.get("epochs", [])]
+        return rows[:latest] if latest else rows
 
     def _all_files(self, snap: dict[str, Any]) -> list[str]:
         return [f for flist in snap["files"].values() for f in flist]
@@ -434,7 +466,7 @@ class SnapshotTable:
             files[str(b)] = new_files.get(str(b), [])
 
         props = dict(snap["properties"])
-        commit_info: dict[str, Any] = {"snapshot": v, **(stats or {})}
+        commit_info: dict[str, Any] = {"snapshot": v, "status": "ok", **(stats or {})}
         if epochs:
             props["epochs"] = props.get("epochs", []) + epochs
             commit_info["epochs"] = epochs
