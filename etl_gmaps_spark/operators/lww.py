@@ -59,8 +59,11 @@ def lww_winners(
         win = partial.groupBy(key_col).agg(F.max("_max_lsn").alias("_max_lsn"))
     else:
         win = log.groupBy(key_col).agg(F.max(lsn_col).alias("_max_lsn"))
+    # broadcast under the session's raised threshold (the pair side is
+    # ~30 B/key); past it the SHUFFLE_HASH hint keeps the fallback a
+    # hash join — sort-merge would re-sort the full payload.
     cand = log.alias("_l").join(
-        win.alias("_w"),
+        win.hint("shuffle_hash").alias("_w"),
         (F.col(f"_l.{key_col}") == F.col(f"_w.{key_col}"))
         & (F.col(f"_l.{lsn_col}") == F.col("_w._max_lsn")),
         "leftsemi",

@@ -40,6 +40,15 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # 64 MB broadcast budget (default 10 MB is sized for 1 GB
+        # executors): the LWW winner-key side is ~30 B/key, so epochs
+        # with up to ~2M distinct keys broadcast and the event payload
+        # never shuffles before the MERGE. On multi-GB executors a
+        # 64 MB broadcast is cheap; past it, joins fall back to the
+        # shuffle-hash hint in the replay plan (never sort-merge's
+        # payload sort).
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.adaptive.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
@@ -48,6 +57,16 @@ def get_spark(
     local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
     if local_dir:
         builder = builder.config("spark.local.dir", local_dir)
+    # Throughput collector: this is a batch engine — long GC pauses are
+    # free, GC CPU share is not. ParallelGC measured 1.6x faster than
+    # the G1 default end-to-end on the 64M-event replay (G1's extra
+    # barriers + humongous-region churn on large task buffers); same
+    # flag would ship in spark-submit --driver/executor-java-options on
+    # a real cluster.
+    java_opts = os.environ.get("SPARK_GRAFT_EXTRA_JAVA", "-XX:+UseParallelGC")
+    if java_opts:
+        builder = builder.config("spark.driver.extraJavaOptions", java_opts)
+        builder = builder.config("spark.executor.extraJavaOptions", java_opts)
     for key, val in (extra_conf or {}).items():
         builder = builder.config(key, val)
     spark = builder.getOrCreate()

@@ -116,9 +116,16 @@ class Replayer:
         return [dict(r) for r in self._ckpt.values()]
 
     # ------------------------------------------------------------ batch
-    def apply_batch(self, batch: DataFrame, epoch: int | list[int]) -> dict:
+    def apply_batch(
+        self, batch: DataFrame, epoch: int | list[int], live_metrics: bool = True
+    ) -> dict:
         """LWW-reduce one epoch slice (or group of epochs committed as
-        one snapshot) and commit it atomically."""
+        one snapshot) and commit it atomically.
+
+        ``live_metrics=False`` skips the observe() instrumentation —
+        required inside foreachBatch, where Observation.get would block
+        (the streaming engine publishes its own per-batch progress
+        instead)."""
         epochs = [epoch] if isinstance(epoch, int) else list(epoch)
         applied = self.table.applied_epochs()
         if all(e in applied for e in epochs):
@@ -127,62 +134,63 @@ class Replayer:
         snap = self.table.snapshot()
         n_buckets = snap["n_buckets"]
 
-        # ONE primitive-only hash aggregation produces the per-key
-        # lineage counters AND the winning lsn: the aggregation buffer
-        # holds only longs/timestamps, so Spark plans a HashAggregate
-        # with a map-side partial — a hot doc_id sends one row of
-        # counters per map task into a shuffle of keys only (no token
-        # payload; counters dedupe replayed byte-identical rows exactly
-        # via count_distinct(lsn)). The winner ROWS come from a
-        # semi-join of the batch against the tiny (key, last_lsn) set
-        # (AQE broadcasts it when it fits — the payload then never
-        # shuffles before the MERGE), plus a winner-sized max_by to
-        # collapse replayed duplicates. See operators/lww.py for why
-        # this beats a single max_by(struct(*), lsn) (SortAggregate).
+        # Lineage stats aggregate DIRECTLY per bucket (the checkpoint
+        # granularity): one primitive-buffer HashAggregate into
+        # n_buckets groups — a few counter rows per map task cross the
+        # shuffle, nothing else. Replayed-batch dedupe detection uses
+        # approx_count_distinct, which HyperLogLog-partial-aggregates
+        # map-side; exact count_distinct(lsn) would expand to a
+        # (bucket, lsn) aggregation that re-shuffles EVERY event
+        # (lsns are unique — zero map-side reduction; measured as the
+        # non-scaling half of the epoch at local[8]→local[32]).
+        # Duplicates only arrive as whole replayed epochs of
+        # byte-identical rows (datagen/changelog contract), so a dup
+        # slice has raw ≈ 2x distinct — far outside HLL error — and the
+        # EXACT dedup'd counters are then recomputed on the rare path
+        # below. Ledger/checkpoint counters are exact in both cases.
         cols = batch.columns
         ev_bytes = F.coalesce(F.col("n_tok") * 4, F.lit(0)) + F.length(self.key_col) + 16
-        aggs = [
+        stats_df = batch.groupBy(bucket_expr(self.key_col, n_buckets).alias("_p")).agg(
             F.count(F.lit(1)).alias("_raw_rows"),
-            F.count_distinct(F.col(self.lsn_col)).alias("rows_applied"),
+            F.approx_count_distinct(self.lsn_col, rsd=0.02).alias("_approx_rows"),
             F.max(self.lsn_col).alias("last_lsn"),
             F.sum(ev_bytes).alias("_raw_bytes"),
             F.max("ts").alias("updated_at"),
-        ]
+        )
+        # The winning lsn per key: primitive-buffer HashAggregate with a
+        # map-side partial — a hot doc_id sends one (key, lsn) row per
+        # map task, no payload. The winner ROWS then come from a
+        # semi-join of the batch against this tiny set (AQE broadcasts
+        # it when it fits — the payload never shuffles before the
+        # MERGE), plus a winner-sized max_by to collapse replayed
+        # duplicates. See operators/lww.py for why this beats a single
+        # max_by(struct(*), lsn) (SortAggregate over the full stream).
+        payload_cols = [c for c in cols if c not in ENVELOPE_COLS and c != self.op_col]
         if self.salt_buckets and self.salt_buckets > 1:
-            # explicit two-phase reduce for pathological hot keys: the
-            # salt comes from the LSN, so one key's events spread over
-            # salt_buckets reducers; per-salt distinct-lsn counts are
-            # disjoint and SUM exactly in phase 2.
+            # explicit two-phase max for pathological hot keys: the salt
+            # comes from the LSN, so one key's events spread over
+            # salt_buckets reducers before the final per-key merge.
             salt = F.pmod(F.xxhash64(F.col(self.lsn_col)), F.lit(self.salt_buckets))
-            partial = batch.groupBy(self.key_col, salt.alias("_salt")).agg(*aggs)
-            per_key = (
-                partial.groupBy(self.key_col)
-                .agg(
-                    F.sum("_raw_rows").alias("_raw_rows"),
-                    F.sum("rows_applied").alias("rows_applied"),
-                    F.max("last_lsn").alias("last_lsn"),
-                    F.sum("_raw_bytes").alias("_raw_bytes"),
-                    F.max("updated_at").alias("updated_at"),
-                )
-                .persist()
+            win = (
+                batch.groupBy(self.key_col, salt.alias("_salt"))
+                .agg(F.max(self.lsn_col).alias("last_lsn"))
+                .groupBy(self.key_col)
+                .agg(F.max("last_lsn").alias("last_lsn"))
+                .select(F.col(self.key_col).alias("_w_key"), "last_lsn")
             )
         else:
-            per_key = batch.groupBy(self.key_col).agg(*aggs).persist()
-        stats_df = (
-            per_key.withColumn("_p", bucket_expr(self.key_col, n_buckets))
-            .groupBy("_p")
-            .agg(
-                F.max("last_lsn").alias("last_lsn"),
-                F.sum("_raw_rows").alias("_raw_rows"),
-                F.sum("rows_applied").alias("rows_applied"),
-                F.sum("_raw_bytes").alias("_raw_bytes"),
-                F.max("updated_at").alias("updated_at"),
+            win = (
+                batch.groupBy(self.key_col)
+                .agg(F.max(self.lsn_col).alias("last_lsn"))
+                .select(F.col(self.key_col).alias("_w_key"), "last_lsn")
             )
-        )
-        payload_cols = [c for c in cols if c not in ENVELOPE_COLS and c != self.op_col]
-        win = per_key.select(F.col(self.key_col).alias("_w_key"), "last_lsn")
+        # join strategy ladder: broadcast while the winner-key set fits
+        # the (raised) threshold — the payload never shuffles; beyond
+        # that the SHUFFLE_HASH hint keeps the fallback a hash join —
+        # sort-merge would re-sort the full payload, the exact cost the
+        # two-phase reduce exists to avoid.
         cand = batch.alias("_b").join(
-            win.alias("_w"),
+            win.hint("shuffle_hash").alias("_w"),
             (F.col(f"_b.{self.key_col}") == F.col("_w._w_key"))
             & (F.col(f"_b.{self.lsn_col}") == F.col("_w.last_lsn")),
             "leftsemi",
@@ -200,20 +208,44 @@ class Replayer:
                 ],
             )
         )
+        # A3 live metrics: observe() rides the merge action itself — the
+        # winner/delete counts are collected by accumulator during the
+        # write, zero extra jobs (the reference's live progress counters,
+        # tlmt + exiter.IncrPlacesCompleted analog).
+        obs = None
+        if live_metrics:
+            from pyspark.sql import Observation
+
+            obs = Observation()
+            src = src.observe(
+                obs,
+                F.count(F.lit(1)).alias("winners"),
+                F.sum((F.col(self.op_col) == "D").cast("long")).alias("deletes"),
+            )
         stats_rows = [r.asDict() for r in stats_df.collect()]
-        if any(r["_raw_rows"] != r["rows_applied"] for r in stats_rows):
+        # dup detection: a replayed epoch doubles raw vs distinct; HLL
+        # rsd=0.02 makes 1.10 a >4-sigma threshold — no false trips
+        if any(r["_raw_rows"] > 1.10 * r["_approx_rows"] for r in stats_rows):
             # rare path: the slice physically contains a replayed epoch —
-            # recompute exact byte counts over dedup'd events
+            # recompute the EXACT deduped row/byte counters (narrow
+            # projection first: the payload never enters this shuffle)
             dedup_stats = (
-                batch.dropDuplicates([self.lsn_col])
-                .withColumn("_p", bucket_expr(self.key_col, n_buckets))
+                batch.select(
+                    bucket_expr(self.key_col, n_buckets).alias("_p"),
+                    F.col(self.lsn_col).alias("_lsn_d"),
+                    ev_bytes.alias("_ev_bytes"),
+                )
+                .dropDuplicates(["_lsn_d"])
                 .groupBy("_p")
-                .agg(F.sum(ev_bytes).alias("_bytes"))
+                .agg(F.count(F.lit(1)).alias("_rows"), F.sum("_ev_bytes").alias("_bytes"))
                 .collect()
             )
-            by_p = {r["_p"]: r["_bytes"] for r in dedup_stats}
+            by_p = {r["_p"]: (r["_rows"], r["_bytes"]) for r in dedup_stats}
             for r in stats_rows:
-                r["_raw_bytes"] = by_p.get(r["_p"], 0)
+                r["rows_applied"], r["_raw_bytes"] = by_p.get(r["_p"], (0, 0))
+        else:
+            for r in stats_rows:
+                r["rows_applied"] = r["_raw_rows"]
         stats = [
             {
                 "partition": int(r["_p"]),
@@ -237,12 +269,15 @@ class Replayer:
             stats={"events": events},
             touched_buckets=[s["partition"] for s in stats],
         )
-        per_key.unpersist()
+        # available as soon as the merge action finished (same job)
+        live = obs.get if obs is not None else {}
         return {
             "epoch": epochs[-1],
             "skipped": False,
             "events": events,
             "rows": events,
+            "winners": int(live.get("winners") or 0),
+            "deletes": int(live.get("deletes") or 0),
             "snapshot": res.snapshot_id,
             "buckets_rewritten": res.buckets_rewritten,
         }

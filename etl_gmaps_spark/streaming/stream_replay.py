@@ -50,7 +50,11 @@ def run_availablenow(
     def apply_micro_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        info = replayer.apply_batch(batch_df, epoch=STREAM_EPOCH_BASE + batch_id)
+        # live_metrics=False: Observation.get would block inside
+        # foreachBatch; streaming progress comes from the query itself
+        info = replayer.apply_batch(
+            batch_df, epoch=STREAM_EPOCH_BASE + batch_id, live_metrics=False
+        )
         applied.append(info)
 
     reader = spark.readStream
