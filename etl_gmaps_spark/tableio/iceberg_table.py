@@ -77,6 +77,36 @@ class IcebergTable:
                 out.add(int(e))
         return out
 
+    def commit_log(
+        self,
+        latest: int | None = None,
+        status: str | None = None,
+        epoch: int | None = None,
+    ) -> list[dict]:
+        """S4/O3 parity with SnapshotTable.commit_log: the job-ledger
+        select (newest first, optional filters, LIMIT) answered from
+        Iceberg's `.snapshots` metadata table."""
+        rows = self.spark.sql(
+            f"SELECT snapshot_id, summary FROM {self.identifier}.snapshots "
+            "ORDER BY committed_at DESC"
+        ).collect()
+        out: list[dict] = []
+        for r in rows:
+            summ = r.summary or {}
+            e = summ.get("cdc.epoch")
+            c = {
+                "snapshot": r.snapshot_id,
+                "status": "ok",
+                "epochs": [int(e)] if e is not None else [],
+                "events": int(summ.get("cdc.events", 0) or 0),
+            }
+            if status is not None and c["status"] != status:
+                continue
+            if epoch is not None and epoch not in c["epochs"]:
+                continue
+            out.append(c)
+        return out[:latest] if latest else out
+
     def merge(
         self,
         winners: DataFrame,
