@@ -89,11 +89,24 @@ def bench_replay(spark) -> dict:
             m = Replayer(table).run(log)
             elapsed = monotonic() - t0
             if best is None or elapsed < best["replay_sec"]:
+                # CoW write amplification: parquet bytes physically
+                # rewritten across all epoch commits vs the change-log
+                # bytes ingested (both from file metadata, no Spark job)
+                commits = table.snapshot()["properties"].get("commits", [])
+                rewritten = sum(c.get("bytes_rewritten", 0) for c in commits)
+                log_bytes = sum(
+                    os.path.getsize(os.path.join(r, f))
+                    for r, _, fs in os.walk(log_path)
+                    for f in fs
+                    if f.endswith(".parquet")
+                )
                 best = {
                     "replay_sec": round(elapsed, 3),
                     "events": m.events_processed,
                     "events_per_sec": round(m.events_processed / elapsed, 1),
                     "epochs": m.epochs_applied,
+                    "bytes_rewritten": rewritten,
+                    "write_amplification": round(rewritten / max(1, log_bytes), 2),
                 }
                 final_rows = table.read().count()
         best["final_rows"] = final_rows

@@ -82,9 +82,17 @@ def _decode_stub(payload: bytes, media_type: str) -> list[float]:
     return [c / total for c in counts]
 
 
-def extract_features(media: DataFrame, batch_rows: int = 256) -> DataFrame:
-    """Decode + featurize via mapInPandas (Arrow batches). Partitions
-    are sized by payload bytes, not row count, before the scan fans out."""
+def extract_features(media: DataFrame, batch_rows: int | None = 256) -> DataFrame:
+    """Decode + featurize via mapInPandas (Arrow batches).
+
+    ``batch_rows`` sizes the Python-worker fan-out: the input is
+    coalesced to ceil(n / batch_rows) partitions so a 200-row input does
+    not pay 32 Python-worker cold starts. The sizing count is
+    column-pruned (no payload bytes read; parquet answers it from
+    footer statistics) and coalesce() merges partitions locally without
+    a shuffle, so no payload byte moves. Pass ``batch_rows=None`` to
+    keep the upstream partitioning (the right call when the scan was
+    already sized by ``spark.sql.files.maxPartitionBytes``)."""
 
     def featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -99,9 +107,13 @@ def extract_features(media: DataFrame, batch_rows: int = 256) -> DataFrame:
             )
             yield out
 
-    return media.select("media_id", "payload", "media_type").mapInPandas(
-        featurize, schema=FEATURE_SCHEMA
-    )
+    src = media.select("media_id", "payload", "media_type")
+    if batch_rows:
+        n = src.count()
+        target = max(1, -(-n // batch_rows))
+        if target < src.rdd.getNumPartitions():
+            src = src.coalesce(target)
+    return src.mapInPandas(featurize, schema=FEATURE_SCHEMA)
 
 
 def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:

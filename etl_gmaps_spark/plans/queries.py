@@ -883,10 +883,10 @@ def embedding_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     "json_path_extract",
     """
     SELECT event_type,
-           CAST(sum(json_extract('{"props_json": 1}' IS NULL OR props, '$.k')::INT) AS BIGINT) AS k_sum,
+           CAST(sum(json_extract(props, '$.k')::INT) AS BIGINT) AS k_sum,
            count(*) AS n
     FROM events GROUP BY event_type
-    """.replace("""json_extract('{"props_json": 1}' IS NULL OR props, '$.k')""", "json_extract(props, '$.k')"),
+    """,
 )
 def json_path_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P1/P3: null-safe positional/JSON path projection — the partial

@@ -93,6 +93,21 @@ class CommitResult:
     rows_written: int
     buckets_rewritten: int
     epoch: int | None
+    # CoW write-amplification evidence (VERDICT r1 #6): bytes of parquet
+    # physically written by this commit. Amplification for a batch of E
+    # events ≈ bytes_rewritten / (E × avg_row_bytes); surfaced per-commit
+    # in the ledger (commit_info) and aggregated by bench.py.
+    bytes_rewritten: int = 0
+
+
+def _footer_stats(files: list[str]) -> tuple[int, int]:
+    """(rows, bytes) summed from parquet footers — driver-side metadata
+    reads, no Spark job."""
+    rows = nbytes = 0
+    for f in files:
+        nbytes += os.path.getsize(f)
+        rows += pq.ParquetFile(f).metadata.num_rows
+    return rows, nbytes
 
 
 def bucket_expr(key_col: str, n_buckets: int):
@@ -465,8 +480,17 @@ class SnapshotTable:
         for b in touched:
             files[str(b)] = new_files.get(str(b), [])
 
+        rows_written, bytes_rewritten = _footer_stats(
+            [f for fl in new_files.values() for f in fl]
+        )
         props = dict(snap["properties"])
-        commit_info: dict[str, Any] = {"snapshot": v, "status": "ok", **(stats or {})}
+        commit_info: dict[str, Any] = {
+            "snapshot": v,
+            "status": "ok",
+            "rows_written": rows_written,
+            "bytes_rewritten": bytes_rewritten,
+            **(stats or {}),
+        }
         if epochs:
             props["epochs"] = props.get("epochs", []) + epochs
             commit_info["epochs"] = epochs
@@ -495,7 +519,7 @@ class SnapshotTable:
             "checkpoint_file": ckpt_file,
         }
         self._commit_snapshot(new)
-        return CommitResult(v, v, -1, len(touched), epoch)
+        return CommitResult(v, v, rows_written, len(touched), epoch, bytes_rewritten)
 
 
 def _align(df: DataFrame, schema: T.StructType) -> DataFrame:
