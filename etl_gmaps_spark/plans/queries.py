@@ -961,18 +961,142 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------- rows-only
 
 
-@register("multimodal_features", sql=None)
+@register(
+    "multimodal_features",
+    """
+    WITH m AS (SELECT unnest(range(200)) AS id),
+    s AS (
+      SELECT id, CAST(id AS VARCHAR) AS ids,
+             (id * 2654435761 % 2147483648 + 42) % 4096 + 64 AS size
+      FROM m
+    )
+    SELECT CAST(id AS BIGINT) AS media_id,
+           CAST(5 + length(ids) + size AS BIGINT) AS n_bytes,
+           CAST((length(ids) - length(replace(replace(ids, '0', ''), '8', '')))
+                + least(size, 1024 - 5 - length(ids)) AS BIGINT) AS c0
+    FROM s
+    """,
+)
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only: synthetic binary media → Arrow-batched mapInPandas
-    feature extraction (decode kernel stubbed; plumbing real)."""
+    """Synthetic binary media → Arrow-batched mapInPandas feature
+    extraction (decode kernel stubbed; plumbing real). The stub's
+    feature[0] is the bucket-0 fraction of an &7 byte histogram over
+    payload[:1024]; the query re-integers it (fraction × window = exact
+    count, no float compare) so the DuckDB oracle can recompute it from
+    the synth_media byte layout: 'blob:{id}' header (digits '0'/'8'
+    land in bucket 0) followed by 'x' (0x78 & 7 = 0) filler."""
     from etl_gmaps_spark.operators.multimodal import extract_features, synth_media
 
+    total = F.least(F.col("n_bytes"), F.lit(1024))
     return extract_features(synth_media(spark, n=200)).select(
-        "media_id", "n_bytes", F.round(F.element_at("feature", 1), 6).alias("f0")
+        "media_id",
+        "n_bytes",
+        F.round(F.element_at("feature", 1) * total).cast("long").alias("c0"),
     )
 
 
-@register("cdc_engine_end_to_end", sql=None)
+def _dg_mix2_sql(expr: str, salt: int) -> str:
+    """datagen._mix2 in ANSI SQL: two chained LCG rounds with salts
+    (salt, salt+104729) — note this differs from the _mix_sql above,
+    which repeats ONE salt twice. Both stay < 2^61 under DuckDB BIGINT."""
+    c1 = LCG_C + salt * 7919
+    c2 = LCG_C + (salt + 104729) * 7919
+    one = f"(({expr}) * {LCG_A} + {c1}) % {LCG_M}"
+    return f"(({one}) * {LCG_A} + {c2}) % {LCG_M}"
+
+
+def _engine_e2e_sql(
+    n_docs: int,
+    n_events: int,
+    seed: int,
+    max_tok: int = 64,
+    hot_keys: int = 5,
+    evolve_at: int | None = None,
+) -> str:
+    """DuckDB replay oracle for the FULL engine path (VERDICT r1 #8):
+    regenerates gen_base + gen_changelog with the same LCG arithmetic
+    (datagen.py is designed to be ANSI-expressible), reduces the log to
+    per-key max-LSN winners with a window, and merges onto the base —
+    exactly the state SnapshotTable holds after Replayer.run, because
+    the row-level lsn guard makes any epoch/micro-batch slicing
+    equivalent to one global LWW. Duplicated epochs are byte-identical
+    so they cannot change winners. tokens are checksummed to tok_sum."""
+    nks = n_docs // 2
+    s0 = seed * 1_000_003
+    b0 = seed * 31
+    src = "['web','books','code','wiki'][CAST(%s %% 4 AS INT) + 1]"
+    win_lang = (
+        f", CASE WHEN lsn > {evolve_at} AND op <> 'D' "
+        f"THEN ['en','es','de','fr'][CAST(m_pay % 4 AS INT) + 1] END AS lang"
+        if evolve_at is not None
+        else ""
+    )
+    base_lang = ", CAST(NULL AS VARCHAR) AS lang" if evolve_at is not None else ""
+    m_lang = (
+        ", CASE WHEN w.doc_num IS NOT NULL THEN w.lang ELSE b.lang END AS lang"
+        if evolve_at is not None
+        else ""
+    )
+    out_lang = ", lang" if evolve_at is not None else ""
+    return f"""
+    WITH mixes AS (
+      SELECT lsn,
+             {_dg_mix2_sql(f'lsn + {s0}', 11)} AS m_op,
+             {_dg_mix2_sql(f'lsn + {s0}', 13)} AS m_hot,
+             {_dg_mix2_sql(f'lsn + {s0}', 17)} AS m_key,
+             {_dg_mix2_sql(f'lsn + {s0}', 19)} AS m_pay
+      FROM (SELECT unnest(range(1, {n_events} + 1)) AS lsn)
+    ), ops AS (
+      SELECT lsn, m_key, m_pay, m_hot % 100 AS r_hot,
+             CASE WHEN m_op % 100 < 25 THEN 'I'
+                  WHEN m_op % 100 < 85 THEN 'U'
+                  ELSE 'D' END AS op
+      FROM mixes
+    ), log AS (
+      SELECT lsn, op, m_pay,
+             CASE WHEN r_hot < 30 THEN m_key % {hot_keys}
+                  WHEN op = 'I' THEN m_key % {n_docs + nks}
+                  ELSE m_key % {n_docs} END AS doc_num
+      FROM ops
+    ), win AS (
+      SELECT doc_num, lsn, op,
+             CASE WHEN op = 'D' THEN NULL
+                  ELSE CAST(m_pay % {max_tok} + 1 AS INT) END AS n_tok,
+             CASE WHEN op = 'D' THEN NULL
+                  ELSE CAST(list_sum(list_transform(
+                         range(1, CAST(m_pay % {max_tok} AS INT) + 2),
+                         j -> (m_pay + j * 104729) % {VOCAB})) AS BIGINT)
+                  END AS tok_sum,
+             CASE WHEN op = 'D' THEN NULL
+                  ELSE {src % 'm_pay'} END AS source
+             {win_lang}
+      FROM (SELECT *, row_number() OVER (PARTITION BY doc_num ORDER BY lsn DESC) AS rn
+            FROM log) WHERE rn = 1
+    ), base AS (
+      SELECT id AS doc_num, n_tok,
+             CAST(list_sum(list_transform(range(1, n_tok + 1),
+                  j -> (m + j * 104729) % {VOCAB})) AS BIGINT) AS tok_sum,
+             {src % 'm'} AS source
+             {base_lang}
+      FROM (SELECT id, {_dg_mix2_sql(f'id + {b0}', 1)} AS m,
+                   CAST({_dg_mix2_sql(f'id + {b0}', 2)} % {max_tok} + 1 AS INT) AS n_tok
+            FROM (SELECT unnest(range({n_docs})) AS id))
+    ), merged AS (
+      SELECT coalesce(w.doc_num, b.doc_num) AS doc_num,
+             w.op AS op,
+             CASE WHEN w.doc_num IS NOT NULL THEN w.n_tok ELSE b.n_tok END AS n_tok,
+             CASE WHEN w.doc_num IS NOT NULL THEN w.tok_sum ELSE b.tok_sum END AS tok_sum,
+             CASE WHEN w.doc_num IS NOT NULL THEN w.source ELSE b.source END AS source
+             {m_lang}
+      FROM base b FULL OUTER JOIN win w ON b.doc_num = w.doc_num
+    )
+    SELECT format('doc-{{:08d}}', doc_num) AS doc_id, n_tok, source{out_lang},
+           tok_sum
+    FROM merged WHERE op IS NULL OR op <> 'D'
+    """
+
+
+@register("cdc_engine_end_to_end", sql=_engine_e2e_sql(n_docs=500, n_events=5000, seed=42))
 def cdc_engine_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only: the full engine — synthetic binlog replayed through
     SnapshotTable MERGE commits with ledger + checkpoint — returning the
@@ -1756,12 +1880,14 @@ def olc_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------- rows-only
 
 
-@register("stream_replay_e2e", sql=None)
+@register("stream_replay_e2e", sql=_engine_e2e_sql(n_docs=300, n_events=3000, seed=7))
 def stream_replay_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only: the change log applied through Structured Streaming
+    """The change log applied through Structured Streaming
     (readStream → foreachBatch(apply) → availableNow) with the row-level
     LWW guard providing exactly-once under arbitrary micro-batch
-    slicing. Returns the final table state."""
+    slicing. Returns the final table state; the DuckDB oracle replays
+    the same log as one global LWW window, which the lsn guard makes
+    equivalent to any micro-batch slicing."""
     import tempfile
 
     from etl_gmaps_spark.datagen import gen_base, gen_changelog
@@ -1787,9 +1913,12 @@ def stream_replay_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("schema_evolution_e2e", sql=None)
+@register(
+    "schema_evolution_e2e",
+    sql=_engine_e2e_sql(n_docs=300, n_events=3000, seed=9, evolve_at=1500),
+)
 def schema_evolution_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only: additive schema evolution mid-stream — epochs before
+    """Additive schema evolution mid-stream — epochs before
     the split genuinely lack the `lang` column; the engine ALTER-ADDs it
     on first sight and backfills nulls (mirrors reference migrations
     0001→0003 and core_logic.py:473-480 drift tolerance)."""
@@ -1871,12 +2000,25 @@ def entry_parse_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("line_file_scan", sql=None)
+@register(
+    "line_file_scan",
+    """
+    WITH d AS (
+      SELECT doc_id, split_part(text, ' ', 1) || ' in ' || source AS q
+      FROM documents ORDER BY doc_id LIMIT 100
+    )
+    SELECT CASE WHEN doc_id % 2 = 0 THEN format('seed-{:04d}', doc_id)
+                ELSE md5(q) END AS seed_id,
+           q AS query
+    FROM d ORDER BY seed_id
+    """,
+)
 def line_file_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only (S1): the seed-file line scan — optional stable id
-    split on '#!#', blanks dropped, id-less lines get a deterministic
+    """S1: the seed-file line scan — optional stable id split on
+    '#!#', blanks dropped, id-less lines get a deterministic md5
     content-hash id (reference runner/jobs.go:71-131). The fixture file
-    is derived from `documents` so replays are stable."""
+    is derived from `documents` so the DuckDB oracle can regenerate the
+    exact lines (blank lines excluded by construction on both sides)."""
     import os
     import tempfile
 
@@ -1897,9 +2039,22 @@ def line_file_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_query_lines(spark, path).orderBy("seed_id")
 
 
-@register("drift_csv_deadletter", sql=None)
+@register(
+    "drift_csv_deadletter",
+    """
+    WITH r AS (SELECT unnest(range(200)) AS i),
+    b AS (
+      SELECT CASE WHEN i % 19 = 0 THEN 'clean'      -- short row: drift, tolerated
+                  WHEN i % 23 = 0 THEN 'clean'      -- long row: drift, tolerated
+                  WHEN i % 31 = 0 THEN 'dead_letter' -- type error at declared arity
+                  ELSE 'clean' END AS bucket
+      FROM r
+    )
+    SELECT bucket, count(*) AS n_rows FROM b GROUP BY bucket ORDER BY bucket
+    """,
+)
 def drift_csv_deadletter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only (S10/T5): drift-tolerant headerless CSV load + dead-
+    """S10/T5: drift-tolerant headerless CSV load + dead-
     letter split — short/long rows are tolerated (padded/truncated, the
     reference's core_logic.py:473-480 behavior), rows with a type parse
     error at the declared arity are quarantined. Returns one summary

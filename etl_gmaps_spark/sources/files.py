@@ -16,14 +16,16 @@ def read_query_lines(spark: SparkSession, path: str, id_sep: str = "#!#") -> Dat
     """S1: line-file scan → (seed_id, query). Blank lines dropped; an
     optional leading stable id is split on ``id_sep`` (reference
     runner/jobs.go:84-101). Rows without an id get a deterministic one
-    from the content hash (not a wall-clock uuid — replays are stable)."""
+    from the content hash (not a wall-clock uuid — replays are stable;
+    md5 rather than xxhash64 so the id is engine-portable and DuckDB
+    oracles can reproduce it)."""
     lines = spark.read.text(path)
     trimmed = lines.select(F.trim("value").alias("line")).filter(F.col("line") != "")
     parts = F.split("line", id_sep, 2)
     has_id = F.size(parts) == 2
     return trimmed.select(
         F.when(has_id, parts.getItem(0))
-        .otherwise(F.lower(F.hex(F.xxhash64("line"))))
+        .otherwise(F.md5("line"))
         .alias("seed_id"),
         F.when(has_id, parts.getItem(1)).otherwise(F.col("line")).alias("query"),
     )
