@@ -134,56 +134,62 @@ class Replayer:
         snap = self.table.snapshot()
         n_buckets = snap["n_buckets"]
 
-        # Lineage stats aggregate DIRECTLY per bucket (the checkpoint
-        # granularity): one primitive-buffer HashAggregate into
-        # n_buckets groups — a few counter rows per map task cross the
-        # shuffle, nothing else. Replayed-batch dedupe detection uses
-        # approx_count_distinct, which HyperLogLog-partial-aggregates
-        # map-side; exact count_distinct(lsn) would expand to a
-        # (bucket, lsn) aggregation that re-shuffles EVERY event
-        # (lsns are unique — zero map-side reduction; measured as the
-        # non-scaling half of the epoch at local[8]→local[32]).
-        # Duplicates only arrive as whole replayed epochs of
-        # byte-identical rows (datagen/changelog contract), so a dup
-        # slice has raw ≈ 2x distinct — far outside HLL error — and the
-        # EXACT dedup'd counters are then recomputed on the rare path
-        # below. Ledger/checkpoint counters are exact in both cases.
+        # ONE full scan of the batch serves every pre-merge need
+        # (VERDICT r1 #2 — the separate stats job and the merge job's
+        # own winner-agg rebuild were two more full scans per epoch,
+        # pure fixed cost that throttled N→4N scaling):
+        #   * per-KEY hash aggregation (primitive counters only — count,
+        #     max lsn, byte sum, max ts) collapses the stream map-side;
+        #     a hot key sends one counter row per map task, no payload.
+        #   * the per-BUCKET lineage stats (checkpoint granularity) are
+        #     a rollup of the per-key rows — bucket = f(key).
+        #   * the winner-key set for the semi-join is a projection of
+        #     the same cached rows, so the merge job's broadcast build
+        #     reads n_keys cached rows instead of rescanning the batch.
+        # Replayed-batch dedupe detection rides the SAME scan via
+        # observe(): global raw count vs HLL approx-distinct lsn
+        # (exact count_distinct would re-shuffle every event — lsns are
+        # unique, zero map-side reduction). Duplicates only arrive as
+        # whole replayed epochs of byte-identical rows, so a dup slice
+        # has raw ≈ 2x distinct — far outside HLL error — and the EXACT
+        # dedup'd counters are recomputed on that rare path below.
         cols = batch.columns
         ev_bytes = F.coalesce(F.col("n_tok") * 4, F.lit(0)) + F.length(self.key_col) + 16
-        stats_df = batch.groupBy(bucket_expr(self.key_col, n_buckets).alias("_p")).agg(
-            F.count(F.lit(1)).alias("_raw_rows"),
-            F.approx_count_distinct(self.lsn_col, rsd=0.02).alias("_approx_rows"),
-            F.max(self.lsn_col).alias("last_lsn"),
-            F.sum(ev_bytes).alias("_raw_bytes"),
-            F.max("ts").alias("updated_at"),
+        from pyspark.sql import Observation
+
+        dup_obs = Observation()
+        observed = batch.observe(
+            dup_obs,
+            F.count(F.lit(1)).alias("raw_rows"),
+            F.approx_count_distinct(self.lsn_col, rsd=0.02).alias("approx_rows"),
         )
-        # The winning lsn per key: primitive-buffer HashAggregate with a
-        # map-side partial — a hot doc_id sends one (key, lsn) row per
-        # map task, no payload. The winner ROWS then come from a
-        # semi-join of the batch against this tiny set (AQE broadcasts
-        # it when it fits — the payload never shuffles before the
-        # MERGE), plus a winner-sized max_by to collapse replayed
-        # duplicates. See operators/lww.py for why this beats a single
-        # max_by(struct(*), lsn) (SortAggregate over the full stream).
-        payload_cols = [c for c in cols if c not in ENVELOPE_COLS and c != self.op_col]
+        counters = [
+            F.count(F.lit(1)).alias("_cnt"),
+            F.max(self.lsn_col).alias("last_lsn"),
+            F.sum(ev_bytes).alias("_bytes"),
+            F.max("ts").alias("updated_at"),
+        ]
         if self.salt_buckets and self.salt_buckets > 1:
-            # explicit two-phase max for pathological hot keys: the salt
-            # comes from the LSN, so one key's events spread over
+            # explicit two-phase reduce for pathological hot keys: the
+            # salt comes from the LSN, so one key's events spread over
             # salt_buckets reducers before the final per-key merge.
             salt = F.pmod(F.xxhash64(F.col(self.lsn_col)), F.lit(self.salt_buckets))
-            win = (
-                batch.groupBy(self.key_col, salt.alias("_salt"))
-                .agg(F.max(self.lsn_col).alias("last_lsn"))
+            keyed = (
+                observed.groupBy(self.key_col, salt.alias("_salt"))
+                .agg(*counters)
                 .groupBy(self.key_col)
-                .agg(F.max("last_lsn").alias("last_lsn"))
-                .select(F.col(self.key_col).alias("_w_key"), "last_lsn")
+                .agg(
+                    F.sum("_cnt").alias("_cnt"),
+                    F.max("last_lsn").alias("last_lsn"),
+                    F.sum("_bytes").alias("_bytes"),
+                    F.max("updated_at").alias("updated_at"),
+                )
             )
         else:
-            win = (
-                batch.groupBy(self.key_col)
-                .agg(F.max(self.lsn_col).alias("last_lsn"))
-                .select(F.col(self.key_col).alias("_w_key"), "last_lsn")
-            )
+            keyed = observed.groupBy(self.key_col).agg(*counters)
+        keyed = keyed.persist()
+        payload_cols = [c for c in cols if c not in ENVELOPE_COLS and c != self.op_col]
+        win = keyed.select(F.col(self.key_col).alias("_w_key"), "last_lsn")
         # join strategy ladder: broadcast while the winner-key set fits
         # the (raised) threshold — the payload never shuffles; beyond
         # that the SHUFFLE_HASH hint keeps the fallback a hash join —
@@ -222,10 +228,29 @@ class Replayer:
                 F.count(F.lit(1)).alias("winners"),
                 F.sum((F.col(self.op_col) == "D").cast("long")).alias("deletes"),
             )
-        stats_rows = [r.asDict() for r in stats_df.collect()]
+        import os as _os
+
+        _prof = _os.environ.get("REPLAY_PROFILE") == "1"
+        _t = monotonic()
+        stats_rows = [
+            r.asDict()
+            for r in keyed.groupBy(bucket_expr(self.key_col, n_buckets).alias("_p"))
+            .agg(
+                F.sum("_cnt").alias("_raw_rows"),
+                F.max("last_lsn").alias("last_lsn"),
+                F.sum("_bytes").alias("_raw_bytes"),
+                F.max("updated_at").alias("updated_at"),
+            )
+            .collect()
+        ]
+        if _prof:
+            print(f"[prof] epoch={epochs[-1]} stats_collect={monotonic() - _t:.2f}s", flush=True)
         # dup detection: a replayed epoch doubles raw vs distinct; HLL
-        # rsd=0.02 makes 1.10 a >4-sigma threshold — no false trips
-        if any(r["_raw_rows"] > 1.10 * r["_approx_rows"] for r in stats_rows):
+        # rsd=0.02 makes 1.10 a >4-sigma threshold — no false trips.
+        # dup_obs rode the keyed-agg scan; the collect above makes it
+        # available.
+        dup = dict(dup_obs.get)
+        if dup["raw_rows"] > 1.10 * (dup["approx_rows"] or 1):
             # rare path: the slice physically contains a replayed epoch —
             # recompute the EXACT deduped row/byte counters (narrow
             # projection first: the payload never enters this shuffle)
@@ -260,6 +285,7 @@ class Replayer:
         events = sum(r["rows_applied"] for r in stats)
         ckpt = self._merged_checkpoint_rows(stats)
 
+        _t = monotonic()
         res = self.table.merge(
             src,
             epoch=epochs,
@@ -269,6 +295,9 @@ class Replayer:
             stats={"events": events},
             touched_buckets=[s["partition"] for s in stats],
         )
+        if _prof:
+            print(f"[prof] epoch={epochs[-1]} merge={monotonic() - _t:.2f}s", flush=True)
+        keyed.unpersist()
         # available as soon as the merge action finished (same job)
         live = obs.get if obs is not None else {}
         return {

@@ -473,8 +473,15 @@ class SnapshotTable:
             .alias(DELETED_COL),
         )
 
+        import time as _time
+
+        _prof = os.environ.get("REPLAY_PROFILE") == "1"
+        _t = _time.monotonic()
         v = snap["version"] + 1
         new_files = self._write_buckets(merged, v, key_col, n_buckets)
+        if _prof:
+            print(f"[prof]   write_buckets={_time.monotonic() - _t:.2f}s", flush=True)
+            _t = _time.monotonic()
         wb.unpersist()
         files = {b: fl for b, fl in snap["files"].items() if int(b) not in set(touched)}
         for b in touched:
@@ -518,6 +525,8 @@ class SnapshotTable:
             "properties": props,
             "checkpoint_file": ckpt_file,
         }
+        if _prof:
+            print(f"[prof]   post_write(footers+ckpt+json)={_time.monotonic() - _t:.2f}s", flush=True)
         self._commit_snapshot(new)
         return CommitResult(v, v, rows_written, len(touched), epoch, bytes_rewritten)
 
