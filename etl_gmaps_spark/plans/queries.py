@@ -2539,3 +2539,48 @@ def ledger_commits(spark: SparkSession, sf_dir: str) -> DataFrame:
         for c in table.commit_log(latest=2, status="ok")
     ]
     return spark.createDataFrame(rows, "snapshot int, status string, epoch int, events int")
+
+
+@register(
+    "column_projection",
+    """
+    SELECT c_custkey AS cid,
+           c_name || ', ' || c_mktsegment AS complete_address,
+           c_custkey % 180 - 90 + 0.5 AS latitude,
+           'Cordoba' AS search_origin_city,
+           c_name AS street,
+           c_mktsegment AS city,
+           CAST(NULL AS VARCHAR) AS state,
+           format('{:05d}', c_custkey % 100000) AS zip,
+           'US' AS country,
+           c_custkey % 360 - 180 + 0.5 AS longitude
+    FROM customer
+    """,
+)
+def column_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P10: user-selected projection with dependency closure (reference
+    core_logic.py:356-405). The user picks only (cid, complete_address,
+    latitude); the closure forces in the parsed address parts (the
+    complete_address group), longitude (lat<->lon pair), and the
+    always-kept search_origin_city — while title and acctbal, present in
+    the frame but unselected, are pruned. The oracle spells out exactly
+    the closed column set, so a closure bug (missing forced column or
+    leaked unselected one) fails the schema match."""
+    from etl_gmaps_spark.operators.projection import project_columns, with_origin_city
+
+    d = _t(spark, sf_dir, "customer")
+    base = d.select(
+        F.col("c_custkey").alias("cid"),
+        F.col("c_name").alias("title"),
+        F.col("c_acctbal").alias("acctbal"),
+        F.concat_ws(", ", "c_name", "c_mktsegment").alias("complete_address"),
+        F.col("c_name").alias("street"),
+        F.col("c_mktsegment").alias("city"),
+        F.lit(None).cast("string").alias("state"),
+        F.format_string("%05d", F.col("c_custkey") % 100000).alias("zip"),
+        F.lit("US").alias("country"),
+        (F.col("c_custkey") % 180 - 90 + 0.5).alias("latitude"),
+        (F.col("c_custkey") % 360 - 180 + 0.5).alias("longitude"),
+    )
+    base = with_origin_city(base, "cordoba")
+    return project_columns(base, ["cid", "complete_address", "latitude"])

@@ -134,3 +134,48 @@ def test_embedding_lsh_multiband_recovers_pairs(spark):
     assert bandset <= allset
     planted = {(i, 100 + i) for i in range(5)}
     assert planted <= bandset  # scaled copies share every sign bucket
+
+
+class TestColumnProjection:
+    """P10: dependency-closure projection (core_logic.py:356-405)."""
+
+    def test_closure_rules(self):
+        from etl_gmaps_spark.operators.projection import closure_columns
+
+        cols = closure_columns(["title", "complete_address", "latitude"])
+        # group expansion, pair completion, always-kept, order preserved
+        assert cols[:3] == ["title", "complete_address", "latitude"]
+        for forced in ["street", "city", "state", "zip", "country",
+                       "longitude", "search_origin_city"]:
+            assert forced in cols
+        assert len(cols) == len(set(cols))
+
+    def test_closure_fixed_point_group_member_in_pair(self):
+        from etl_gmaps_spark.operators.projection import closure_columns
+
+        # a group member that is itself half of a pair must pull the
+        # other half in on the second iteration
+        cols = closure_columns(
+            ["g"],
+            always=[],
+            groups={"g": ["a"]},
+            pairs=[("a", "b")],
+        )
+        assert cols == ["g", "a", "b"]
+
+    def test_project_drops_missing_and_prunes_unselected(self, spark):
+        from etl_gmaps_spark.operators.projection import project_columns
+
+        df = spark.createDataFrame(
+            [(1, "t", "x")], "cid int, title string, acctbal string"
+        )
+        out = project_columns(df, ["cid", "latitude"], always=[])
+        # latitude+longitude not in df -> dropped; acctbal/title unselected
+        assert out.columns == ["cid"]
+
+    def test_project_empty_selection_returns_named_empty(self, spark):
+        from etl_gmaps_spark.operators.projection import project_columns
+
+        df = spark.createDataFrame([(1,)], "cid int")
+        out = project_columns(df, ["nope"], always=[])
+        assert out.columns == ["nope"] and out.count() == 0
