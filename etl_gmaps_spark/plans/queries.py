@@ -1302,53 +1302,28 @@ def eligible_email_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-Flat ANN, the similarity-search scale path: corpus assigned
-    to nearest centroid once (broadcast), queries probe 2 cells, search
-    touches only probed cells. Deterministic centroid set (vec_id%37).
-    All ranking on rounded cosine + id tiebreak for oracle stability."""
+    """IVF-Flat ANN, the similarity-search scale path (operator:
+    operators/similarity.py ivf_topk). Corpus rows are assigned to
+    their nearest centroid by a SHUFFLE-FREE per-row argmax over
+    literal centroid vectors (assign_cells — at scale the assignment is
+    materialized as a table column per centroid version and passed via
+    ``assigned=``); queries probe 2 cells; the search equi-joins only
+    probed cells. Deterministic centroid set (vec_id%37); all ranking
+    on round-4 cosine + id tiebreak for oracle stability."""
+    from etl_gmaps_spark.operators.similarity import ivf_topk
+
     e = _t(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("vv")
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
-    norm = F.sqrt(F.aggregate("vv", F.lit(0.0), lambda a, x: a + x * x))
-    v = e.select("vec_id", "vv", norm.alias("vn"))
-    c = v.filter(F.col("vec_id") % 37 == 0).select(
-        F.col("vec_id").alias("cid"), F.col("vv").alias("cv"), F.col("vn").alias("cn")
+    centroids = e.filter(F.col("vec_id") % 37 == 0).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
     )
-
-    def dot(a, b):
-        return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
-
-    sim_vc = F.round(dot("vv", "cv") / (F.col("vn") * F.col("cn")), 4)
-    wv = W.partitionBy("vec_id").orderBy(F.desc("_sim"), F.asc("cid"))
-    assigned = (
-        v.crossJoin(F.broadcast(c))
-        .withColumn("_sim", sim_vc)
-        .withColumn("_rn", F.row_number().over(wv))
-        .filter(F.col("_rn") == 1)
-        .select("vec_id", "vv", "vn", "cid")
+    queries = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
     )
-    q = v.filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("query_id"), F.col("vv").alias("qv"), F.col("vn").alias("qn")
-    )
-    sim_qc = F.round(dot("qv", "cv") / (F.col("qn") * F.col("cn")), 4)
-    wq = W.partitionBy("query_id").orderBy(F.desc("_sim"), F.asc("cid"))
-    probes = (
-        q.crossJoin(F.broadcast(c))
-        .withColumn("_sim", sim_qc)
-        .withColumn("_rn", F.row_number().over(wq))
-        .filter(F.col("_rn") <= 2)
-        .select("query_id", "qv", "qn", "cid")
-    )
-    scored = assigned.join(F.broadcast(probes), "cid").select(
-        "query_id",
-        "vec_id",
-        F.round(dot("qv", "vv") / (F.col("qn") * F.col("vn")), 4).alias("cosine"),
-    )
-    wr = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(wr))
-        .filter(F.col("rank") <= 3)
-        .select("query_id", "vec_id", "cosine", F.col("rank").cast("int").alias("rank"))
+    out = ivf_topk(e, queries, centroids, k=3, n_probe=2, round_digits=4)
+    return out.select(
+        "query_id", "vec_id", "cosine", F.col("rank").cast("int").alias("rank")
     )
 
 

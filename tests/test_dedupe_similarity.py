@@ -166,3 +166,22 @@ def test_banded_lsh_planted_recall(spark):
     assert hits / n_planted >= 0.95, f"recall {hits}/{n_planted}"
     # precision is exact by construction: cosine verified in-bucket
     assert all(r["cosine"] >= 0.95 for r in got)
+
+
+def test_assign_cells_materialized_reuse(spark, sf_001_embeddings):
+    from etl_gmaps_spark.operators.similarity import assign_cells, ivf_topk
+
+    vectors = sf_001_embeddings
+    centroids = vectors.filter(F.col("vec_id") % 37 == 0).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    queries = vectors.limit(3).select(F.col("vec_id").alias("query_id"), "embedding")
+    # materialize the assignment once (at scale: stored as a table
+    # column per centroid version), then search against it
+    assigned = assign_cells(vectors, centroids)
+    direct = ivf_topk(vectors, queries, centroids, k=2, n_probe=2).collect()
+    reused = ivf_topk(vectors, queries, centroids, k=2, n_probe=2, assigned=assigned).collect()
+    assert sorted(map(tuple, direct)) == sorted(map(tuple, reused))
+    # the assignment plan is shuffle-free: no Exchange anywhere in it
+    plan = assigned._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
