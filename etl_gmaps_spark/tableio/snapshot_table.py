@@ -14,16 +14,19 @@ Layout:
     <root>/data/s{N}/_bucket={b}/  data files written by snapshot N
 
 Scale design:
-  * rows are hash-bucketed on the merge key: ``pmod(xxhash64(key), B)``
+  * rows are hash-bucketed on the merge key: ``pmod(murmur3(key), B)``
     — the analog of Iceberg's ``bucket(B, doc_id)`` partition transform
-    (FIXTURES.md #1). Bucket pruning is METADATA-level: a merge never
-    *reads* untouched buckets at all (read_buckets loads only the
-    touched file set). Within the touched set, though, Spark has no
-    bucketing metadata for raw parquet files, so the full-outer MERGE
-    join at merge() DOES shuffle both sides of the touched buckets —
-    "co-partitioned" holds at bucket granularity (pruning), not at
-    shuffle granularity. On a real Iceberg catalog with storage-
-    partitioned joins, the same plan becomes shuffle-free.
+    (FIXTURES.md #1; Iceberg's bucket transform is also Murmur3).
+    Bucket pruning is METADATA-level: a merge never *reads* untouched
+    buckets at all (read_buckets loads only the touched file set).
+    Within the touched set, Spark has no bucketing metadata for raw
+    parquet files, so each MERGE shuffles both join inputs ONCE into
+    exactly B partitions on the key — but because Murmur3 is also
+    Spark's shuffle partitioner, partition index == bucket id, the
+    full-outer join adds no exchange of its own, and the merged output
+    (the largest frame in the epoch) is written back one-task-per-
+    bucket with NO post-join shuffle. On a real Iceberg catalog with
+    storage-partitioned joins even the input shuffles disappear.
   * copy-on-write at **bucket granularity**: a merge rewrites only the
     buckets containing touched keys; untouched buckets are referenced
     from the parent snapshot. A batch touching 1% of keys rewrites
@@ -111,7 +114,14 @@ def _footer_stats(files: list[str]) -> tuple[int, int]:
 
 
 def bucket_expr(key_col: str, n_buckets: int):
-    return F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_buckets)).cast("int")
+    """Bucket id = ``pmod(murmur3(key), B)`` — F.hash IS Spark's
+    shuffle partitioner (Murmur3, seed 42), so a frame repartitioned
+    with ``df.repartition(B, key)`` has partition index == bucket id.
+    The merge exploits this: its join output is already laid out
+    one-partition-per-bucket and is written with NO further shuffle.
+    (Iceberg's bucket transform is likewise Murmur3; round 1 used
+    xxhash64, which could never align with the engine's own shuffle.)"""
+    return F.pmod(F.hash(F.col(key_col)), F.lit(n_buckets)).cast("int")
 
 
 class SnapshotTable:
@@ -263,17 +273,25 @@ class SnapshotTable:
 
     # ------------------------------------------------------------ write
     def _write_buckets(
-        self, df: DataFrame, version: int, key_col: str, n_buckets: int
+        self, df: DataFrame, version: int, key_col: str, n_buckets: int,
+        aligned: bool = False,
     ) -> dict[str, list[str]]:
-        """Write df hash-bucketed; one dir per bucket; return file map."""
+        """Write df hash-bucketed; one dir per bucket; return file map.
+
+        ``aligned=True``: the caller guarantees df is already
+        hash-partitioned on ``key_col`` into exactly ``n_buckets``
+        partitions (partition index == bucket id, see bucket_expr), so
+        the write adds NO shuffle and each task emits exactly one
+        bucket file. Otherwise one explicit ``repartition(B, key)`` —
+        collision-free one-bucket-per-task (round 1's
+        ``repartition(col(_bucket))`` hashed bucket ids into the
+        default partition count: some tasks got two buckets, some
+        none — straggler skew for free)."""
         out = os.path.join(self.data_dir, f"s{version}")
-        (
-            df.withColumn(BUCKET_COL, bucket_expr(key_col, n_buckets))
-            .repartition(F.col(BUCKET_COL))  # one shuffle, co-located by bucket
-            .write.partitionBy(BUCKET_COL)
-            .mode("overwrite")
-            .parquet(out)
-        )
+        withb = df.withColumn(BUCKET_COL, bucket_expr(key_col, n_buckets))
+        if not aligned:
+            withb = withb.repartition(n_buckets, F.col(key_col))
+        withb.write.partitionBy(BUCKET_COL).mode("overwrite").parquet(out)
         files: dict[str, list[str]] = {}
         for entry in os.listdir(out):
             if not entry.startswith(f"{BUCKET_COL}="):
@@ -445,14 +463,25 @@ class SnapshotTable:
         else:
             touched = [r[0] for r in wb.select(BUCKET_COL).distinct().collect()]
 
-        target = _align(self.read_buckets(touched), schema)
+        # Both sides are explicitly hash-partitioned on the merge key
+        # into exactly n_buckets partitions BEFORE the join. Spark's
+        # repartition(B, key) partitioner is pmod(murmur3(key), B) ==
+        # bucket_expr, so (a) the full-outer join reuses the children's
+        # partitioning (no ENSURE_REQUIREMENTS exchange), and (b) the
+        # join OUTPUT arrives one-partition-per-bucket, letting
+        # _write_buckets(aligned=True) skip the post-merge full-table
+        # repartition entirely — the merged table (the largest frame in
+        # the epoch) is never shuffled again after the join.
+        target = _align(self.read_buckets(touched), schema).repartition(
+            n_buckets, F.col(key_col)
+        )
         data_cols = [f.name for f in schema.fields if f.name not in META_COLS and f.name != key_col]
         s = wb.select(
             F.col(key_col).alias("_s_key"),
             F.col(LSN_COL).alias("_s_lsn"),
             F.col(DELETED_COL).alias("_s_del"),
             *[F.col(c).alias(f"_s_{c}") for c in data_cols],
-        )
+        ).repartition(n_buckets, F.col("_s_key"))
         j = target.join(s, target[key_col] == s["_s_key"], "full_outer")
         # source wins when present and not older than the stored row;
         # null source lsn means "unordered upsert" — always wins
@@ -478,7 +507,7 @@ class SnapshotTable:
         _prof = os.environ.get("REPLAY_PROFILE") == "1"
         _t = _time.monotonic()
         v = snap["version"] + 1
-        new_files = self._write_buckets(merged, v, key_col, n_buckets)
+        new_files = self._write_buckets(merged, v, key_col, n_buckets, aligned=True)
         if _prof:
             print(f"[prof]   write_buckets={_time.monotonic() - _t:.2f}s", flush=True)
             _t = _time.monotonic()

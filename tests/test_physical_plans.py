@@ -104,3 +104,52 @@ def test_read_pending_broadcasts_checkpoint(spark, tmp_path):
     assert "GreaterThan(lsn," in plan
     # and the result is exactly the unapplied epoch
     assert pending.count() == log.filter(F.col("epoch") == 1).count()
+
+
+def test_merge_bucket_alignment_one_file_per_bucket(spark, tmp_path):
+    """The MERGE write path is bucket-ALIGNED: the join inputs are
+    hash-partitioned on the key into exactly n_buckets partitions
+    (Spark's partitioner == bucket_expr, both Murmur3), so the merged
+    output is written with no post-join shuffle and each touched
+    bucket dir gets EXACTLY ONE file. >1 file per bucket means the
+    alignment broke (an extra exchange crept in between join and
+    write)."""
+    import os
+
+    from etl_gmaps_spark.datagen import gen_base, gen_changelog
+    from etl_gmaps_spark.schemas import TARGET_SCHEMA
+    from etl_gmaps_spark.streaming.replay import Replayer
+    from etl_gmaps_spark.tableio import SnapshotTable, bucket_expr
+
+    root = str(tmp_path / "tbl")
+    base = gen_base(spark, n_docs=400, seed=11)
+    log = gen_changelog(spark, n_docs=400, n_events=4000, seed=11, epoch_size=4000)
+    table = SnapshotTable.create(spark, root, TARGET_SCHEMA, n_buckets=8, base_df=base)
+    Replayer(table).run(log)
+    snap = table.snapshot()
+    assert snap["version"] == 2
+    for b, files in snap["files"].items():
+        assert len(files) == 1, f"bucket {b}: {len(files)} files (alignment broken)"
+    # rows physically live in the dir their key hashes to
+    df = spark.read.parquet(os.path.join(root, "data", "s2"))
+    mismatch = df.withColumn(
+        "_calc", bucket_expr("doc_id", 8)
+    ).filter(F.col("_calc") != F.col("_bucket")).count()
+    assert mismatch == 0
+
+
+def test_merge_join_adds_no_extra_exchange(spark, tmp_path):
+    """Reconstruct the merge join shape and assert the full-outer join
+    reuses the children's repartition(B, key) partitioning: exactly
+    the two REPARTITION_BY_NUM exchanges appear, no
+    ENSURE_REQUIREMENTS exchange for the join itself."""
+    left = spark.range(1000).select(F.concat(F.lit("k"), "id").alias("doc_id"), F.col("id").alias("a"))
+    right = spark.range(500).select(F.concat(F.lit("k"), "id").alias("_s_key"), F.col("id").alias("b"))
+    j = left.repartition(8, F.col("doc_id")).join(
+        right.repartition(8, F.col("_s_key")),
+        F.col("doc_id") == F.col("_s_key"),
+        "full_outer",
+    )
+    plan = plan_of(j)
+    assert plan.count("REPARTITION_BY_NUM") == 2
+    assert "ENSURE_REQUIREMENTS" not in plan
