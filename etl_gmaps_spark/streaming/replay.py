@@ -201,18 +201,18 @@ class Replayer:
             & (F.col(f"_b.{self.lsn_col}") == F.col("_w.last_lsn")),
             "leftsemi",
         )
-        row = F.struct(*[F.col(c) for c in cols])
-        src = (
-            cand.groupBy(self.key_col)
-            .agg(F.max_by(row, F.col(self.lsn_col)).alias("_w"))
-            .select(
-                F.col(f"_w.{self.key_col}").alias(self.key_col),
-                *[
-                    F.col(f"_w.{c}").alias(c)
-                    for c in [self.op_col, self.lsn_col] + payload_cols
-                    if c != self.key_col
-                ],
-            )
+        # cand has unique keys already — only the winner (key, lsn) row
+        # of each key survives the semi-join; the sole exception is
+        # replayed delivery, where the SAME winner row appears as
+        # byte-identical copies. Collapsing those here used to cost a
+        # full groupBy(max_by) shuffle of the winner payload EVERY
+        # epoch; instead the merge dedupes in-partition after its own
+        # bucket repartition (dedupe_source=True below), where the
+        # dedupe's sort feeds the join's sort requirement — zero extra
+        # shuffle on the hot path.
+        src = cand.select(
+            self.key_col,
+            *[c for c in [self.op_col, self.lsn_col] + payload_cols if c != self.key_col],
         )
         # A3 live metrics: observe() rides the merge action itself — the
         # winner/delete counts are collected by accumulator during the
@@ -294,6 +294,7 @@ class Replayer:
             lsn_col=self.lsn_col,
             stats={"events": events},
             touched_buckets=[s["partition"] for s in stats],
+            dedupe_source=True,
         )
         if _prof:
             print(f"[prof] epoch={epochs[-1]} merge={monotonic() - _t:.2f}s", flush=True)

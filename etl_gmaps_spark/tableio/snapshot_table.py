@@ -404,6 +404,7 @@ class SnapshotTable:
         extra_properties: dict[str, Any] | None = None,
         stats: dict[str, Any] | None = None,
         touched_buckets: list[int] | None = None,
+        dedupe_source: bool = False,
     ) -> CommitResult:
         """MERGE INTO: per-key upsert/delete, bucket-granular CoW, with
         a ROW-LEVEL last-writer-wins guard.
@@ -412,6 +413,15 @@ class SnapshotTable:
         this — Iceberg MERGE has the same unique-source-key requirement)
         and carry ``op_col`` ('I'/'U' upsert, 'D' delete), optionally
         ``lsn_col``, plus payload columns.
+
+        ``dedupe_source=True`` relaxes the unique-key contract to
+        "duplicate keys carry byte-identical rows" (replayed-delivery
+        duplicates): the source is dropDuplicates'd on the key AFTER
+        the bucket repartition, so the dedupe executes in-partition
+        with zero extra shuffle, and its sort-by-key output feeds the
+        sort-merge join's own sort requirement — the dedupe is
+        effectively free. This lets the replay hot path skip its own
+        pre-merge max_by shuffle entirely.
 
         Two idempotence layers:
           * batch level: if ``epoch`` (one id or a group applied as one
@@ -482,6 +492,8 @@ class SnapshotTable:
             F.col(DELETED_COL).alias("_s_del"),
             *[F.col(c).alias(f"_s_{c}") for c in data_cols],
         ).repartition(n_buckets, F.col("_s_key"))
+        if dedupe_source:
+            s = s.dropDuplicates(["_s_key"])
         j = target.join(s, target[key_col] == s["_s_key"], "full_outer")
         # source wins when present and not older than the stored row;
         # null source lsn means "unordered upsert" — always wins

@@ -153,3 +153,17 @@ def test_merge_join_adds_no_extra_exchange(spark, tmp_path):
     plan = plan_of(j)
     assert plan.count("REPARTITION_BY_NUM") == 2
     assert "ENSURE_REQUIREMENTS" not in plan
+
+
+def test_merge_source_dedupe_adds_no_exchange(spark):
+    """dedupe_source: dropDuplicates on the merge key AFTER the bucket
+    repartition must execute in-partition — one REPARTITION exchange,
+    nothing else (the replay hot path relies on this: it dropped its
+    own pre-merge max_by shuffle in favor of this free dedupe)."""
+    df = spark.range(1000).select(
+        F.concat(F.lit("k"), (F.col("id") % 300)).alias("_s_key"),
+        F.col("id").alias("payload"),
+    )
+    plan = plan_of(df.repartition(8, F.col("_s_key")).dropDuplicates(["_s_key"]))
+    assert plan.count("REPARTITION_BY_NUM") == 1
+    assert "ENSURE_REQUIREMENTS" not in plan
