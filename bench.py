@@ -66,8 +66,12 @@ def bench_replay(spark) -> dict:
             )
             # scale layout: the change log is dir-partitioned by epoch, so
             # each micro-batch scan prunes to its own slice instead of
-            # re-reading the whole log per epoch
-            log.write.mode("overwrite").partitionBy("epoch").parquet(log_path)
+            # re-reading the whole log per epoch. 32 MB row groups make
+            # the reader's 32 MB split ranges effective (a 128 MB row
+            # group is one indivisible task no matter the range size).
+            log.write.mode("overwrite").option(
+                "parquet.block.size", 32 * 1024 * 1024
+            ).partitionBy("epoch").parquet(log_path)
         log = spark.read.parquet(log_path)
 
         # repeat and keep the best run: the sandbox host has noisy

@@ -52,7 +52,19 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
-        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # Scan granularity: size file-split ranges so every level in
+        # the 2..32-thread sweep gets multiple EVEN waves per epoch
+        # scan. At 128 MB a ~2 GB epoch is 16-18 tasks — local[8] runs
+        # 2 ragged waves (last wave 1-2 tasks, cores idle) and local[32]
+        # half-starves, which shows up directly as lost N->4N scaling
+        # efficiency. 32 MB gives ~70 tasks/epoch: <=6% wave raggedness
+        # at any level here. Rule, not constant: target 3-4 tasks per
+        # core per scan — on a 1000-executor cluster reading TB inputs
+        # the same rule lands back at 128-256 MB.
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "33554432"),
+        )
     )
     local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
     if local_dir:
