@@ -26,9 +26,18 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+# under local-cluster (SPARK_GRAFT_EXECUTORS=k) CPUS is cores PER
+# executor; shuffles should span the whole cluster
+TOTAL_CORES = CPUS * max(1, int(os.environ.get("SPARK_GRAFT_EXECUTORS", "0")))
 N_EVENTS = int(os.environ.get("BENCH_EVENTS", "8000000"))
 N_DOCS = max(1000, N_EVENTS // 50)
 EPOCHS = int(os.environ.get("BENCH_EPOCHS", "2"))
+# epoch-grouping (SnapshotTable scale-design mitigation (a)): commit k
+# log epochs per snapshot — at 10^10-event scale commits are sized by
+# amortization economics (the ~seconds of per-commit serial work:
+# winner-set broadcast build, stats barrier, snapshot write), not by
+# producer epoch granularity
+BATCH_EPOCHS = int(os.environ.get("BENCH_BATCH_EPOCHS", "1"))
 N_BUCKETS = 32  # constant across parallelism levels: same table layout
 
 
@@ -90,7 +99,7 @@ def bench_replay(spark) -> dict:
                 base_df=base,
             )
             t0 = monotonic()
-            m = Replayer(table).run(log)
+            m = Replayer(table).run(log, batch_epochs=BATCH_EPOCHS)
             elapsed = monotonic() - t0
             if best is None or elapsed < best["replay_sec"]:
                 # CoW write amplification: parquet bytes physically
@@ -134,7 +143,7 @@ def bench_queries(spark) -> dict[str, float]:
 def main() -> None:
     from etl_gmaps_spark.session import get_spark
 
-    spark = get_spark("bench", cpus=CPUS, shuffle_partitions=CPUS)
+    spark = get_spark("bench", cpus=CPUS, shuffle_partitions=TOTAL_CORES)
     replay = bench_replay(spark)
     queries = {} if os.environ.get("BENCH_SKIP_QUERIES") == "1" else bench_queries(spark)
     total = replay["replay_sec"] + sum(queries.values())
@@ -144,7 +153,7 @@ def main() -> None:
         "unit": "sec",
         "queries": queries,
         "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
-        "cpus": CPUS,
+        "cpus": TOTAL_CORES,
         "replay": replay,
     }
     print(json.dumps(result))

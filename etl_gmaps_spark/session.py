@@ -31,9 +31,24 @@ def get_spark(
     does exactly that per batch, see streaming/replay.py).
     """
     cpus = cpus or DEFAULT_CPUS
-    shuffle_partitions = shuffle_partitions or cpus
+    # SPARK_GRAFT_EXECUTORS=k switches to local-cluster[k, cpus, mem]:
+    # k REAL executor JVMs (own heap, own GC, shuffles over loopback)
+    # with `cpus` cores each — the faithful in-sandbox stand-in for an
+    # N-executor cluster. Plain local[n] threads share ONE heap, so the
+    # larger "cluster" pays super-linear GC for 4x the allocation rate
+    # in a single collector — a distortion a real 4N-node cluster
+    # (4x JVMs, 4x collectors) does not have.
+    n_exec = int(os.environ.get("SPARK_GRAFT_EXECUTORS", "0"))
+    if n_exec > 0:
+        mem_mb = int(os.environ.get("SPARK_GRAFT_EXECUTOR_MEM_MB", "6144"))
+        master = f"local-cluster[{n_exec},{cpus},{mem_mb}]"
+        total_cores = n_exec * cpus
+    else:
+        master = f"local[{cpus}]"
+        total_cores = cpus
+    shuffle_partitions = shuffle_partitions or total_cores
     builder = (
-        SparkSession.builder.master(f"local[{cpus}]")
+        SparkSession.builder.master(master)
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
@@ -47,8 +62,14 @@ def get_spark(
         # 64 MB broadcast is cheap; past it, joins fall back to the
         # shuffle-hash hint in the replay plan (never sort-merge's
         # payload sort).
-        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        .config("spark.sql.adaptive.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config(
+            "spark.sql.autoBroadcastJoinThreshold",
+            str(int(os.environ.get("SPARK_GRAFT_BROADCAST_MB", "64")) * 1024 * 1024),
+        )
+        .config(
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
+            str(int(os.environ.get("SPARK_GRAFT_BROADCAST_MB", "64")) * 1024 * 1024),
+        )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
