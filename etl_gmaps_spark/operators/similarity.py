@@ -80,15 +80,23 @@ def _cell_sims(vec_col, vn_col, rows, round_digits):
     """Per-row array of (cosine-vs-centroid, -centroid_id) structs built
     from LITERAL centroid vectors: the argmax/top-n over it runs inside
     the row scan — no crossJoin row blow-up, no window, NO SHUFFLE.
-    -cid makes max/sort-desc tie-break toward the smallest cell id."""
-    entries = []
-    for cid, vec in rows:
-        lit = F.array(*[F.lit(float(x)) for x in vec])
-        sim = _dot(F.col(vec_col), lit) / (F.col(vn_col) * _norm(lit))
+    -cid makes max/sort-desc tie-break toward the smallest cell id.
+
+    The centroid matrix enters the plan as ONE nested array literal and
+    the per-centroid cosine is a zip_with lambda evaluated at runtime —
+    O(1) plan nodes regardless of centroid count. (The first cut built
+    one expression subtree per centroid: ~50 plan nodes each, and
+    Catalyst analysis/codegen dominated runtime past ~20 centroids.)"""
+    cvs = F.lit([[float(x) for x in vec] for _, vec in rows])
+    ncs = F.lit([-int(cid) for cid, _ in rows])
+
+    def entry(cv, nc):
+        sim = _dot(F.col(vec_col), cv) / (F.col(vn_col) * _norm(cv))
         if round_digits is not None:
             sim = F.round(sim, round_digits)
-        entries.append(F.struct(sim.alias("s"), F.lit(-int(cid)).alias("nc")))
-    return F.array(*entries)
+        return F.struct(sim.alias("s"), nc.alias("nc"))
+
+    return F.zip_with(cvs, ncs, entry)
 
 
 def assign_cells(
@@ -99,21 +107,59 @@ def assign_cells(
     centroid_id_col: str = "centroid_id",
     cell_col: str = "cell",
     round_digits: int | None = None,
+    method: str = "auto",
 ) -> DataFrame:
     """Assign each corpus row to its nearest centroid cell — one scan,
     zero shuffle (VERDICT r1: the join+window formulation shuffled
-    corpus × n_cells rows; this argmax is a per-row expression).
+    corpus × n_cells rows).
+
+    Two shuffle-free implementations, both one pass over the corpus:
+      * ``expr`` — per-row array_max over LITERAL centroid vectors,
+        pure codegen. Plan size is O(n_centroids · dim) expression
+        nodes, so janino compile time dominates past a few hundred
+        centroids.
+      * ``pandas`` — Arrow-batched numpy argmax against the broadcast
+        centroid matrix (one BLAS matmul per batch). The scale path:
+        IVF sizes n_cells ≈ sqrt(n), so a 10^9-vector corpus wants
+        ~2^15 cells — far past the expression path. Float arithmetic
+        is pairwise-summed BLAS, not a sequential fold: ties within
+        float error of each other may resolve differently than expr.
+    ``auto`` picks expr below 64 centroids, pandas above.
 
     Returns (id, vector, norm, cell). At scale, materialize the result
     as a table column (one-time backfill per centroid version) and pass
     it to ivf_topk(assigned=...) so queries never re-assign the corpus.
     """
     rows = _centroid_rows(centroids, vec_col, centroid_id_col)
+    if method == "auto":
+        method = "expr" if len(rows) <= 64 else "pandas"
     v = vectors.select(
         F.col(id_col).alias("_vid"), F.col(vec_col).alias("_vv"), _norm(vec_col).alias("_vn")
     )
-    best = F.array_max(_cell_sims("_vv", "_vn", rows, round_digits))
-    return v.select("_vid", "_vv", "_vn", (-best["nc"]).alias(cell_col))
+    if method == "expr":
+        best = F.array_max(_cell_sims("_vv", "_vn", rows, round_digits))
+        return v.select("_vid", "_vv", "_vn", (-best["nc"]).alias(cell_col))
+
+    import numpy as np
+
+    cids = np.array([cid for cid, _ in rows], dtype="int64")
+    mat = np.stack([np.asarray(vec, dtype="float64") for _, vec in rows])
+    mat_n = mat / (np.linalg.norm(mat, axis=1, keepdims=True) + 1e-300)
+
+    @pandas_udf("long")
+    def _nearest(emb: pd.Series) -> pd.Series:
+        m = np.stack(emb.to_numpy()).astype("float64")
+        sims = (m @ mat_n.T) / (np.linalg.norm(m, axis=1, keepdims=True) + 1e-300)
+        if round_digits is not None:
+            sims = np.round(sims, round_digits)
+        # columns in ascending-cid order: np.argmax keeps the FIRST
+        # occurrence of the max, i.e. the smallest cid on ties —
+        # matching the expr path's (sim, -cid) struct-max tie-break
+        order = np.argsort(cids, kind="stable")
+        best = np.argmax(sims[:, order], axis=1)
+        return pd.Series(cids[order][best])
+
+    return v.select("_vid", "_vv", "_vn", _nearest("_vv").alias(cell_col))
 
 
 def probe_cells(

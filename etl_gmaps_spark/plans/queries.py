@@ -1273,7 +1273,8 @@ def eligible_email_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
              sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS vn
       FROM embeddings
     ), c AS (
-      SELECT vec_id AS cid, vv AS cv, vn AS cn FROM v WHERE vec_id % 37 = 0
+      SELECT vec_id AS cid, vv AS cv, vn AS cn
+      FROM v WHERE vec_id % 37 = 0 AND vec_id < 600
     ), assign AS (
       SELECT vec_id, vv, vn, cid,
              row_number() OVER (PARTITION BY vec_id
@@ -1315,7 +1316,12 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
-    centroids = e.filter(F.col("vec_id") % 37 == 0).select(
+    # centroid-count bound: the literal-centroid expression path costs
+    # O(n_centroids) plan nodes per row — at ~15 centroids the plan is
+    # tiny; unbounded %37 grows with the table and janino compile time
+    # dominates. (Past a few hundred centroids use
+    # assign_cells(method="pandas") — the BLAS argmax scale path.)
+    centroids = e.filter((F.col("vec_id") % 37 == 0) & (F.col("vec_id") < 600)).select(
         F.col("vec_id").alias("centroid_id"), "embedding"
     )
     queries = e.filter(F.col("vec_id") < 5).select(

@@ -185,3 +185,23 @@ def test_assign_cells_materialized_reuse(spark, sf_001_embeddings):
     # the assignment plan is shuffle-free: no Exchange anywhere in it
     plan = assigned._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_assign_cells_pandas_matches_expr(spark, sf_001_embeddings):
+    from etl_gmaps_spark.operators.similarity import assign_cells
+
+    vectors = sf_001_embeddings
+    centroids = vectors.filter(F.col("vec_id") % 37 == 0).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    by_expr = {
+        r["_vid"]: r["cell"]
+        for r in assign_cells(vectors, centroids, method="expr").collect()
+    }
+    by_np = {
+        r["_vid"]: r["cell"]
+        for r in assign_cells(vectors, centroids, method="pandas").collect()
+    }
+    # BLAS pairwise summation vs codegen fold may flip exact float
+    # ties; synthetic embeddings have none, so assignments agree
+    assert by_expr == by_np
