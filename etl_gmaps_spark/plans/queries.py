@@ -1110,8 +1110,8 @@ def cdc_engine_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_gmaps_spark.tableio import SnapshotTable
 
     wd = tempfile.mkdtemp(prefix="cdc_e2e_")
-    base = gen_base(spark, n_docs=500, seed=42)
-    log = gen_changelog(spark, n_docs=500, n_events=5000, seed=42, epoch_size=1000)
+    base = gen_base(spark, n_docs=500, seed=42, partitions=4)
+    log = gen_changelog(spark, n_docs=500, n_events=5000, seed=42, epoch_size=1000, partitions=4)
     table = SnapshotTable.create(spark, f"{wd}/tbl", TARGET_SCHEMA, n_buckets=8, base_df=base)
     Replayer(table).run(log)
     final = table.read()
@@ -1877,8 +1877,8 @@ def stream_replay_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_gmaps_spark.tableio import SnapshotTable
 
     wd = tempfile.mkdtemp(prefix="cdc_stream_e2e_")
-    base = gen_base(spark, n_docs=300, seed=7)
-    log = gen_changelog(spark, n_docs=300, n_events=3000, seed=7, epoch_size=1000)
+    base = gen_base(spark, n_docs=300, seed=7, partitions=4)
+    log = gen_changelog(spark, n_docs=300, n_events=3000, seed=7, epoch_size=1000, partitions=4)
     log_dir = f"{wd}/log"
     log.write.mode("overwrite").parquet(log_dir)
     table = SnapshotTable.create(spark, f"{wd}/tbl", TARGET_SCHEMA, n_buckets=8, base_df=base)
@@ -1911,10 +1911,10 @@ def schema_evolution_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_gmaps_spark.tableio import SnapshotTable
 
     wd = tempfile.mkdtemp(prefix="cdc_evolve_e2e_")
-    base = gen_base(spark, n_docs=300, seed=9)
+    base = gen_base(spark, n_docs=300, seed=9, partitions=4)
     log = gen_changelog(
         spark, n_docs=300, n_events=3000, seed=9, epoch_size=1000, evolve_at=1500,
-        dup_epochs=(),
+        dup_epochs=(), partitions=4,
     )
     table = SnapshotTable.create(spark, f"{wd}/tbl", TARGET_SCHEMA, n_buckets=8, base_df=base)
     r = Replayer(table)
@@ -2511,8 +2511,8 @@ def ledger_commits(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_gmaps_spark.tableio import SnapshotTable
 
     wd = tempfile.mkdtemp(prefix="cdc_ledger_")
-    base = gen_base(spark, n_docs=200, seed=5)
-    log = gen_changelog(spark, n_docs=200, n_events=3000, seed=5, epoch_size=1000)
+    base = gen_base(spark, n_docs=200, seed=5, partitions=4)
+    log = gen_changelog(spark, n_docs=200, n_events=3000, seed=5, epoch_size=1000, partitions=4)
     table = SnapshotTable.create(spark, f"{wd}/tbl", TARGET_SCHEMA, n_buckets=8, base_df=base)
     Replayer(table).run(log)
     rows = [
