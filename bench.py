@@ -89,6 +89,12 @@ def bench_replay(spark) -> dict:
         repeats = int(os.environ.get("BENCH_REPEAT", "3"))
         best = None
         final_rows = None
+        log_bytes = sum(
+            os.path.getsize(os.path.join(r, f))
+            for r, _, fs in os.walk(log_path)
+            for f in fs
+            if f.endswith(".parquet")
+        )
         for i in range(repeats):
             # table bootstrap is setup, not apply throughput — untimed
             table = SnapshotTable.create(
@@ -105,14 +111,11 @@ def bench_replay(spark) -> dict:
                 # CoW write amplification: parquet bytes physically
                 # rewritten across all epoch commits vs the change-log
                 # bytes ingested (both from file metadata, no Spark job)
-                commits = table.snapshot()["properties"].get("commits", [])
-                rewritten = sum(c.get("bytes_rewritten", 0) for c in commits)
-                log_bytes = sum(
-                    os.path.getsize(os.path.join(r, f))
-                    for r, _, fs in os.walk(log_path)
-                    for f in fs
-                    if f.endswith(".parquet")
-                )
+                props = table.snapshot()["properties"]
+                commits = props.get("commits", [])
+                rewritten = sum(c.get("bytes_rewritten", 0) for c in commits) + (
+                    props.get("commits_rollup") or {}
+                ).get("bytes_rewritten", 0)
                 best = {
                     "replay_sec": round(elapsed, 3),
                     "events": m.events_processed,
@@ -124,6 +127,36 @@ def bench_replay(spark) -> dict:
                 final_rows = table.read().count()
         best["final_rows"] = final_rows
         best["repeats"] = repeats
+
+        # merge-on-read leg (one run, same log): write amplification in
+        # BOTH modes is the uniform-batch CoW-cliff evidence — MoR writes
+        # O(batch) per commit where CoW rewrites every touched bucket.
+        if os.environ.get("BENCH_SKIP_MOR") != "1":
+            mor_tbl = SnapshotTable.create(
+                spark,
+                os.path.join(workdir, "tbl_mor"),
+                TARGET_SCHEMA,
+                n_buckets=N_BUCKETS,
+                base_df=base,
+                merge_mode="mor",
+            )
+            t0 = monotonic()
+            mm = Replayer(mor_tbl).run(log, batch_epochs=BATCH_EPOCHS)
+            mor_elapsed = monotonic() - t0
+            mprops = mor_tbl.snapshot()["properties"]
+            mor_rewritten = sum(
+                c.get("bytes_rewritten", 0) for c in mprops.get("commits", [])
+            ) + (mprops.get("commits_rollup") or {}).get("bytes_rewritten", 0)
+            t0 = monotonic()
+            mor_rows = mor_tbl.read().count()  # read amplification side
+            best["mor"] = {
+                "replay_sec": round(mor_elapsed, 3),
+                "events_per_sec": round(mm.events_processed / mor_elapsed, 1),
+                "bytes_rewritten": mor_rewritten,
+                "write_amplification": round(mor_rewritten / max(1, log_bytes), 3),
+                "read_sec": round(monotonic() - t0, 3),
+                "final_rows_match": mor_rows == final_rows,
+            }
         return best
     finally:
         shutil.rmtree(workdir, ignore_errors=True)

@@ -351,14 +351,19 @@ class Replayer:
         return m
 
     def is_done(self, log: DataFrame) -> bool:
-        """exiter.isDone analog: every epoch in the log is in the ledger."""
+        """exiter.isDone analog: every epoch in the log is in the ledger.
+
+        The applied set is (watermark, sparse explicit) — after a long
+        contiguous replay it is ONE integer, so the predicate pushed to
+        the scan is a range test plus a small isin, never a 10^7-element
+        literal list."""
         done = self.table.applied_epochs()
-        remaining = (
-            log.select(self.epoch_col)
-            .distinct()
-            .filter(~F.col(self.epoch_col).isin([int(e) for e in done]) if done else F.lit(True))
-            .count()
-        )
+        if not done:
+            return log.select(self.epoch_col).distinct().count() == 0
+        applied = F.col(self.epoch_col) < F.lit(done.watermark)
+        if done.explicit:
+            applied = applied | F.col(self.epoch_col).isin([int(e) for e in done.explicit])
+        remaining = log.select(self.epoch_col).distinct().filter(~applied).count()
         return remaining == 0
 
 

@@ -6,8 +6,10 @@ is on the classpath.
 """
 
 from etl_gmaps_spark.tableio.snapshot_table import (  # noqa: F401
+    BucketHashMismatch,
     CommitConflict,
     CommitResult,
+    EpochSet,
     SnapshotTable,
     bucket_expr,
 )

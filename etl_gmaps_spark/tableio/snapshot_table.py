@@ -7,9 +7,20 @@ IcebergTable impl exposes (tableio/iceberg_table.py), so swapping in a
 real Iceberg catalog is a constructor change.
 
 Layout:
-    <root>/meta/v{N}.json     snapshot metadata (O_EXCL create = the
-                              optimistic-concurrency commit gate)
-    <root>/meta/_current      pointer file, atomically renamed into place
+    <root>/meta/v{N}.json          snapshot metadata (O_EXCL create =
+                                   the optimistic-concurrency commit gate)
+    <root>/meta/_current           pointer file, atomically renamed in
+    <root>/meta/manifests/m{N}-*.json  per-commit manifest: the file
+                                   lists of the buckets THIS commit
+                                   touched (base + delta files).
+                                   Untouched buckets are covered by
+                                   older manifests, reused by path —
+                                   the Iceberg manifest-list layout.
+    <root>/meta/failures.jsonl     failed-commit lineage sidecar (a
+                                   failed commit cannot write its own
+                                   snapshot; the reference's job state
+                                   machine still records `failed`,
+                                   web/job.go:11-16)
     <root>/meta/ckpt-{N}.parquet   per-partition checkpoint at snapshot N
     <root>/data/s{N}/_bucket={b}/  data files written by snapshot N
 
@@ -18,36 +29,49 @@ Scale design:
     — the analog of Iceberg's ``bucket(B, doc_id)`` partition transform
     (FIXTURES.md #1; Iceberg's bucket transform is also Murmur3).
     Bucket pruning is METADATA-level: a merge never *reads* untouched
-    buckets at all (read_buckets loads only the touched file set).
-    Within the touched set, Spark has no bucketing metadata for raw
-    parquet files, so each MERGE shuffles both join inputs ONCE into
-    exactly B partitions on the key — but because Murmur3 is also
-    Spark's shuffle partitioner, partition index == bucket id, the
-    full-outer join adds no exchange of its own, and the merged output
-    (the largest frame in the epoch) is written back one-task-per-
-    bucket with NO post-join shuffle. On a real Iceberg catalog with
-    storage-partitioned joins even the input shuffles disappear.
-  * copy-on-write at **bucket granularity**: a merge rewrites only the
-    buckets containing touched keys; untouched buckets are referenced
-    from the parent snapshot. A batch touching 1% of keys rewrites
-    ~1% of the table (with B sized so a bucket ≈ a few GB at target
-    scale), not 100%. Write amplification caveat: a UNIFORM batch
-    touching all buckets rewrites the whole table per epoch (CoW).
-    The mitigations are (a) epoch grouping — ``batch_epochs`` commits
-    k epochs per snapshot, dividing rewrites by k; (b) many buckets +
-    skewed/clustered batches, where pruning bites; (c) a merge-on-read
-    delete-file design, which trades it for read amplification (not
-    implemented — out of scope for this round, noted for parity with
-    Iceberg v2 MoR).
-  * commit = data files first, then snapshot json (O_EXCL — two racing
-    writers cannot both create v{N}.json), then pointer rename (atomic
-    on POSIX). A crash before the pointer flip leaves the table at the
-    parent snapshot and only orphans unreferenced files — the replay
-    driver re-applies the epoch idempotently.
+    buckets at all. Within the touched set, Spark has no bucketing
+    metadata for raw parquet files, so each MERGE shuffles both join
+    inputs ONCE into exactly B partitions on the key — but because
+    Murmur3 is also Spark's shuffle partitioner, partition index ==
+    bucket id, the full-outer join adds no exchange of its own, and the
+    merged output is written back one-task-per-bucket with NO post-join
+    shuffle. The hash function + bucket count are stamped into table
+    metadata (``bucket_hash``) and checked on every open-for-write, so
+    a table persisted under a different hash fails loudly instead of
+    silently mis-bucketing (a merge would compute touched buckets with
+    the new hash, miss the key's real file, and duplicate the row).
+  * two merge modes (Iceberg v1 CoW vs v2 MoR, chosen at create()):
+      - ``cow``: a merge rewrites only the buckets containing touched
+        keys; untouched buckets are referenced from the parent
+        snapshot. A batch touching 1% of keys rewrites ~1% of the
+        table. A UNIFORM batch touching all buckets, however, rewrites
+        the whole table per commit — write amplification O(table/batch).
+      - ``mor`` (merge-on-read): a merge writes ONLY per-bucket delta
+        files (winner rows + tombstones, ~batch-sized) and never reads
+        the target; readers reconcile base+deltas per key by
+        (max _lsn, then newest snapshot) — byte-identical semantics to
+        the CoW row-level guard because every MoR write carries an lsn.
+        ``compact()`` folds deltas back into base files (Iceberg
+        rewrite_data_files), bounding read amplification.
+  * snapshot metadata is O(touched buckets + 1) per commit, NOT
+    O(table × history): v{N}.json stores a manifest *list* (paths);
+    only one new manifest (the touched buckets) is written per commit,
+    and when the list exceeds MANIFEST_COMPACT_AT the resolved map is
+    folded into a single consolidated manifest. The commit ledger
+    keeps full rows for the newest ``ledger_keep`` commits and rolls
+    older rows into an aggregate summary; the applied-epoch set is
+    stored as a contiguous watermark + sparse explicit list, so a
+    10^7-epoch replay stores one integer, not 10^7.
+  * commit = data files first, then manifest, then snapshot json
+    (O_EXCL — two racing writers cannot both create v{N}.json), then
+    pointer rename (atomic on POSIX). A crash before the pointer flip
+    leaves the table at the parent snapshot and only orphans
+    unreferenced files — the replay driver re-applies the epoch
+    idempotently, and the failure is recorded in the lineage sidecar.
   * snapshot ``properties`` carry the commit-epoch ledger
-    (``epochs`` list + per-commit stats), mirroring the reference's
-    idempotent sink (ON CONFLICT DO NOTHING, postgres/resultwriter.go:83)
-    as Iceberg snapshot-summary metadata per the north rule.
+    (``epochs`` watermark+list and per-commit stats), mirroring the
+    reference's idempotent sink (ON CONFLICT DO NOTHING,
+    postgres/resultwriter.go:83) as Iceberg snapshot-summary metadata.
 """
 
 from __future__ import annotations
@@ -56,7 +80,7 @@ import json
 import os
 import uuid
 from dataclasses import dataclass
-from typing import Any
+from typing import Any, Iterator
 
 import pyarrow as pa
 import pyarrow.parquet as pq
@@ -84,9 +108,22 @@ LSN_COL = "_lsn"  # row-level LWW guard: lsn of the writer that produced the row
 DELETED_COL = "_deleted"  # tombstone: key is dead as of _lsn (delete-then-stale-replay safety)
 META_COLS = (LSN_COL, DELETED_COL)
 
+# Identifies the bucket-assignment function a table was persisted with.
+# bucket_expr below == pmod(murmur3_x86_32(key, seed=42), B). Any change
+# to the function MUST bump this id; merge()/read_buckets() refuse to
+# operate on a table stamped with a different id.
+BUCKET_HASH = "murmur3_pmod_v1"
+
+MANIFEST_COMPACT_AT = 32  # fold the manifest list when it grows past this
+LEDGER_KEEP_DEFAULT = 64  # full per-commit ledger rows kept before roll-up
+
 
 class CommitConflict(Exception):
     """Another writer committed this version first (O_EXCL lost the race)."""
+
+
+class BucketHashMismatch(Exception):
+    """Table was persisted under a different bucket hash function."""
 
 
 @dataclass
@@ -101,6 +138,49 @@ class CommitResult:
     # events ≈ bytes_rewritten / (E × avg_row_bytes); surfaced per-commit
     # in the ledger (commit_info) and aggregated by bench.py.
     bytes_rewritten: int = 0
+
+
+class EpochSet:
+    """Applied-epoch membership: everything below ``watermark`` plus an
+    explicit sparse set. Contiguous-from-zero epoch streams (the normal
+    CDC replay) compact to a single integer no matter how long the
+    history; out-of-band keys (e.g. streaming ledger keys at 10^9) stay
+    explicit and are bounded by the run that created them."""
+
+    __slots__ = ("watermark", "explicit")
+
+    def __init__(self, watermark: int = 0, explicit: set[int] | None = None):
+        self.watermark = int(watermark)
+        self.explicit = {int(e) for e in (explicit or ())}
+
+    def __contains__(self, e) -> bool:
+        e = int(e)
+        return e < self.watermark or e in self.explicit
+
+    def __iter__(self) -> Iterator[int]:
+        yield from range(self.watermark)
+        yield from sorted(self.explicit)
+
+    def __len__(self) -> int:
+        return self.watermark + len(self.explicit)
+
+    def __bool__(self) -> bool:
+        return self.watermark > 0 or bool(self.explicit)
+
+
+def _epoch_set(props: dict[str, Any]) -> EpochSet:
+    return EpochSet(props.get("epochs_watermark", 0), props.get("epochs", []))
+
+
+def _store_epochs(props: dict[str, Any], es: EpochSet) -> None:
+    """Advance the watermark over the contiguous prefix and store the
+    remainder sparsely — O(new epochs) per commit, O(gaps) storage."""
+    w, s = es.watermark, set(es.explicit)
+    while w in s:
+        s.discard(w)
+        w += 1
+    props["epochs_watermark"] = w
+    props["epochs"] = sorted(s)
 
 
 def _footer_stats(files: list[str]) -> tuple[int, int]:
@@ -120,7 +200,8 @@ def bucket_expr(key_col: str, n_buckets: int):
     The merge exploits this: its join output is already laid out
     one-partition-per-bucket and is written with NO further shuffle.
     (Iceberg's bucket transform is likewise Murmur3; round 1 used
-    xxhash64, which could never align with the engine's own shuffle.)"""
+    xxhash64, which could never align with the engine's own shuffle.)
+    The id BUCKET_HASH is stamped into table metadata at create()."""
     return F.pmod(F.hash(F.col(key_col)), F.lit(n_buckets)).cast("int")
 
 
@@ -130,6 +211,8 @@ class SnapshotTable:
         self.root = root
         self.meta_dir = os.path.join(root, "meta")
         self.data_dir = os.path.join(root, "data")
+        self.manifest_dir = os.path.join(self.meta_dir, "manifests")
+        self._manifest_cache: dict[str, dict] = {}
 
     # ------------------------------------------------------------- meta
     @classmethod
@@ -141,10 +224,15 @@ class SnapshotTable:
         key_col: str = "doc_id",
         n_buckets: int = 16,
         base_df: DataFrame | None = None,
+        merge_mode: str = "cow",
+        ledger_keep: int = LEDGER_KEEP_DEFAULT,
     ) -> "SnapshotTable":
+        if merge_mode not in ("cow", "mor"):
+            raise ValueError(f"merge_mode must be 'cow' or 'mor', got {merge_mode!r}")
         t = cls(spark, root)
         os.makedirs(t.meta_dir, exist_ok=True)
         os.makedirs(t.data_dir, exist_ok=True)
+        os.makedirs(t.manifest_dir, exist_ok=True)
         stored = T.StructType(
             [f for f in schema.fields if f.name not in META_COLS]
             + [
@@ -152,12 +240,14 @@ class SnapshotTable:
                 T.StructField(DELETED_COL, T.BooleanType(), True),
             ]
         )
-        files: dict[str, list[str]] = {}
+        manifests: list[str] = []
         if base_df is not None:
             seeded = base_df.withColumn(LSN_COL, F.lit(0).cast("long")).withColumn(
                 DELETED_COL, F.lit(False)
             )
             files = t._write_buckets(seeded, version=1, key_col=key_col, n_buckets=n_buckets)
+            entries = {b: {"base": fl, "deltas": []} for b, fl in files.items()}
+            manifests = [t._write_manifest(1, entries)]
         snap = {
             "version": 1,
             "snapshot_id": 1,
@@ -165,8 +255,11 @@ class SnapshotTable:
             "schema": json.loads(stored.json()),
             "key_col": key_col,
             "n_buckets": n_buckets,
-            "files": files,
-            "properties": {"epochs": [], "commits": []},
+            "bucket_hash": BUCKET_HASH,
+            "merge_mode": merge_mode,
+            "ledger_keep": ledger_keep,
+            "manifests": manifests,
+            "properties": {"epochs_watermark": 0, "epochs": [], "commits": []},
             "checkpoint_file": None,
         }
         t._commit_snapshot(snap)
@@ -184,6 +277,15 @@ class SnapshotTable:
         v = version if version is not None else self._current_version()
         with open(os.path.join(self.meta_dir, f"v{v}.json")) as fh:
             return json.load(fh)
+
+    def _check_bucket_hash(self, snap: dict[str, Any]) -> None:
+        stored = snap.get("bucket_hash", BUCKET_HASH)
+        if stored != BUCKET_HASH:
+            raise BucketHashMismatch(
+                f"table at {self.root} was bucketed with {stored!r}; this engine "
+                f"computes {BUCKET_HASH!r} — reads/merges would silently miss "
+                "keys' real files. Rewrite the table (overwrite/compact) first."
+            )
 
     def _commit_snapshot(self, snap: dict[str, Any]) -> None:
         v = snap["version"]
@@ -204,6 +306,47 @@ class SnapshotTable:
             os.fsync(fh.fileno())
         os.rename(tmp, os.path.join(self.meta_dir, "_current"))  # atomic
 
+    # -------------------------------------------------------- manifests
+    def _write_manifest(self, version: int, entries: dict[str, dict]) -> str:
+        """One manifest per commit: ONLY the buckets this commit touched
+        (each entry is that bucket's complete new state). O(touched)."""
+        os.makedirs(self.manifest_dir, exist_ok=True)
+        path = os.path.join(self.manifest_dir, f"m{version}-{uuid.uuid4().hex[:8]}.json")
+        with open(path, "w") as fh:
+            json.dump({"buckets": entries}, fh)
+        return path
+
+    def _load_manifest(self, path: str) -> dict:
+        m = self._manifest_cache.get(path)
+        if m is None:
+            with open(path) as fh:
+                m = json.load(fh)["buckets"]
+            self._manifest_cache[path] = m
+        return m
+
+    def _resolve(self, snap: dict[str, Any]) -> dict[str, dict]:
+        """bucket -> {"base": [...], "deltas": [...]}; newest manifest
+        entry for a bucket wins (each entry is self-contained)."""
+        out: dict[str, dict] = {}
+        for path in snap.get("manifests", []):
+            out.update(self._load_manifest(path))
+        return out
+
+    def files_map(self, version: int | None = None) -> dict[str, list[str]]:
+        """bucket -> every live data file (base + deltas). The public
+        replacement for the pre-manifest ``snapshot()["files"]``."""
+        return {
+            b: list(e.get("base", [])) + list(e.get("deltas", []))
+            for b, e in self._resolve(self.snapshot(version)).items()
+        }
+
+    def _all_files(self, snap: dict[str, Any]) -> list[str]:
+        return [
+            f
+            for e in self._resolve(snap).values()
+            for f in list(e.get("base", [])) + list(e.get("deltas", []))
+        ]
+
     # ------------------------------------------------------------- read
     def schema(self) -> T.StructType:
         return T.StructType.fromJson(self.snapshot()["schema"])
@@ -211,8 +354,8 @@ class SnapshotTable:
     def properties(self) -> dict[str, Any]:
         return self.snapshot()["properties"]
 
-    def applied_epochs(self) -> set[int]:
-        return set(self.properties().get("epochs", []))
+    def applied_epochs(self) -> EpochSet:
+        return _epoch_set(self.properties())
 
     def commit_log(
         self,
@@ -224,39 +367,104 @@ class SnapshotTable:
         web/sqlite/sqlite.go:59-101: SELECT .. [WHERE status = ?]
         ORDER BY created_at DESC [LIMIT ?]). Commits are the jobs;
         snapshot version is the creation order. Driver-side (ledger
-        lives in snapshot properties — no Spark job)."""
+        lives in snapshot properties — no Spark job). Failed applies
+        (status="failed") come from the lineage sidecar, since a failed
+        commit cannot write its own snapshot. Rows older than the
+        roll-up horizon are summarized in properties["commits_rollup"].
+        """
         rows = [dict(c) for c in self.properties().get("commits", [])]
-        rows.sort(key=lambda c: -c["snapshot"])
+        rows += self._failures()
+        rows.sort(key=lambda c: (-c["snapshot"], c.get("status") != "ok"))
         if status is not None:
             rows = [c for c in rows if c.get("status") == status]
         if epoch is not None:
             rows = [c for c in rows if epoch in c.get("epochs", [])]
         return rows[:latest] if latest else rows
 
-    def _all_files(self, snap: dict[str, Any]) -> list[str]:
-        return [f for flist in snap["files"].values() for f in flist]
+    def _failures(self) -> list[dict]:
+        path = os.path.join(self.meta_dir, "failures.jsonl")
+        if not os.path.exists(path):
+            return []
+        with open(path) as fh:
+            return [json.loads(line) for line in fh if line.strip()]
+
+    def record_failure(self, epochs: list[int], error: str, attempted_version: int | None = None) -> None:
+        """Failed-apply lineage (reference job state machine
+        pending/working/ok/failed, web/job.go:11-16; failure write-back
+        runner/webrunner/webrunner.go:133-250). Appended to a sidecar:
+        a failed commit by definition never creates its snapshot, so the
+        record must live outside the snapshot chain. O_APPEND keeps
+        concurrent writers line-atomic for short records on POSIX."""
+        row = {
+            "snapshot": attempted_version
+            if attempted_version is not None
+            else self._current_version() + 1,
+            "status": "failed",
+            "epochs": [int(e) for e in epochs],
+            "error": str(error)[:500],
+        }
+        path = os.path.join(self.meta_dir, "failures.jsonl")
+        with open(path, "a") as fh:
+            fh.write(json.dumps(row) + "\n")
+            fh.flush()
+            os.fsync(fh.fileno())
+
+    def _read_files(self, files: list[str], schema: T.StructType) -> DataFrame:
+        if not files:
+            return self.spark.createDataFrame([], schema)
+        return _align(self.spark.read.option("mergeSchema", "true").parquet(*files), schema)
+
+    def _reconciled(
+        self, snap: dict[str, Any], buckets: list[int] | None = None
+    ) -> DataFrame:
+        """Current per-key state across base + delta files.
+
+        MoR reconciliation: the winning row per key is the one with the
+        highest (_lsn, snapshot-sequence) — identical to the CoW merge's
+        ``_s_lsn >= _lsn`` guard, because every MoR write carries an lsn
+        and equal lsns resolve to the later commit. The sequence is not
+        stored per row; it is recovered from the file path (data/s{N}/),
+        so base and delta files need no extra column. Pure-CoW buckets
+        (no deltas) skip the window entirely."""
+        schema = T.StructType.fromJson(snap["schema"])
+        resolved = self._resolve(snap)
+        sel = (
+            resolved
+            if buckets is None
+            else {str(b): resolved.get(str(b), {}) for b in buckets}
+        )
+        base = [f for e in sel.values() for f in e.get("base", [])]
+        deltas = [f for e in sel.values() for f in e.get("deltas", [])]
+        if not deltas:
+            return self._read_files(base, schema)
+        from pyspark.sql import Window as W
+
+        df = self._read_files(base + deltas, schema).withColumn(
+            "_seq",
+            F.regexp_extract(F.input_file_name(), r"/s(\d+)/", 1).cast("long"),
+        )
+        w = W.partitionBy(snap["key_col"]).orderBy(
+            F.col(LSN_COL).desc_nulls_last(), F.col("_seq").desc()
+        )
+        return (
+            df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn", "_seq")
+        )
 
     def read(self, version: int | None = None, include_meta: bool = False) -> DataFrame:
         """Current (or time-travel) state. Tombstoned rows are filtered
         and the _lsn/_deleted guard columns dropped unless
-        ``include_meta``."""
+        ``include_meta``. MoR deltas are reconciled transparently."""
         snap = self.snapshot(version)
-        schema = T.StructType.fromJson(snap["schema"])
-        files = self._all_files(snap)
-        if not files:
-            df = self.spark.createDataFrame([], schema)
-        else:
-            df = _align(self.spark.read.option("mergeSchema", "true").parquet(*files), schema)
+        df = self._reconciled(snap)
         live = df.filter(~F.coalesce(F.col(DELETED_COL), F.lit(False)))
         return live if include_meta else live.drop(*META_COLS)
 
     def read_buckets(self, buckets: list[int], version: int | None = None) -> DataFrame:
         snap = self.snapshot(version)
-        schema = T.StructType.fromJson(snap["schema"])
-        files = [f for b in buckets for f in snap["files"].get(str(b), [])]
-        if not files:
-            return self.spark.createDataFrame([], schema)
-        return _align(self.spark.read.option("mergeSchema", "true").parquet(*files), schema)
+        self._check_bucket_hash(snap)
+        return self._reconciled(snap, buckets=buckets)
 
     def checkpoint(self, version: int | None = None) -> DataFrame | None:
         snap = self.snapshot(version)
@@ -303,16 +511,69 @@ class SnapshotTable:
             )
         return files
 
+    def _ledger_rollup(self, props: dict[str, Any], keep: int) -> None:
+        """Keep full rows for the newest ``keep`` commits; fold older
+        rows into an aggregate (count/events/bytes/snapshot+epoch range)
+        so the per-snapshot ledger is O(keep), not O(history)."""
+        commits = props.get("commits", [])
+        if len(commits) <= keep:
+            return
+        old, props["commits"] = commits[:-keep], commits[-keep:]
+        ru = dict(
+            props.get("commits_rollup")
+            or {
+                "commits": 0,
+                "events": 0,
+                "rows_written": 0,
+                "bytes_rewritten": 0,
+                "first_snapshot": None,
+                "last_snapshot": None,
+                "epoch_min": None,
+                "epoch_max": None,
+            }
+        )
+        for c in old:
+            ru["commits"] += 1
+            ru["events"] += c.get("events", 0)
+            ru["rows_written"] += c.get("rows_written", 0)
+            ru["bytes_rewritten"] += c.get("bytes_rewritten", 0)
+            s = c["snapshot"]
+            ru["first_snapshot"] = s if ru["first_snapshot"] is None else min(ru["first_snapshot"], s)
+            ru["last_snapshot"] = s if ru["last_snapshot"] is None else max(ru["last_snapshot"], s)
+            for e in c.get("epochs", []):
+                ru["epoch_min"] = e if ru["epoch_min"] is None else min(ru["epoch_min"], e)
+                ru["epoch_max"] = e if ru["epoch_max"] is None else max(ru["epoch_max"], e)
+        props["commits_rollup"] = ru
+
+    def _next_manifests(
+        self, snap: dict[str, Any], version: int, touched_entries: dict[str, dict]
+    ) -> list[str]:
+        """Append one manifest for the touched buckets; consolidate the
+        list when it exceeds MANIFEST_COMPACT_AT (Iceberg
+        rewrite_manifests analog) so resolution stays O(1) files."""
+        manifests = list(snap.get("manifests", []))
+        if touched_entries:
+            manifests.append(self._write_manifest(version, touched_entries))
+        if len(manifests) > MANIFEST_COMPACT_AT:
+            resolved: dict[str, dict] = {}
+            for path in manifests:
+                resolved.update(self._load_manifest(path))
+            manifests = [self._write_manifest(version, resolved)]
+        return manifests
+
     def overwrite(self, df: DataFrame, properties_update: dict[str, Any] | None = None) -> CommitResult:
         snap = self.snapshot()
         v = snap["version"] + 1
         files = self._write_buckets(df, v, snap["key_col"], snap["n_buckets"])
+        entries = {b: {"base": fl, "deltas": []} for b, fl in files.items()}
+        # an overwrite replaces EVERY bucket: consolidate to one manifest
+        # (buckets absent from `entries` must not leak from old manifests)
         new = dict(snap)
         new.update(
             version=v,
             snapshot_id=v,
             parent=snap["version"],
-            files=files,
+            manifests=[self._write_manifest(v, entries)],
             schema=json.loads(df.schema.json()),
         )
         if properties_update:
@@ -323,13 +584,58 @@ class SnapshotTable:
         n = sum(len(x) for x in files.values())
         return CommitResult(v, v, -1, n, None)
 
+    def compact(self, buckets: list[int] | None = None) -> CommitResult:
+        """Fold MoR delta files into base files (Iceberg
+        rewrite_data_files): per touched bucket, materialize the
+        reconciled state as the new base and drop the deltas. Bounded
+        to ``buckets`` if given — at scale this runs incrementally on
+        the buckets with the deepest delta chains."""
+        snap = self.snapshot()
+        self._check_bucket_hash(snap)
+        resolved = self._resolve(snap)
+        with_deltas = [int(b) for b, e in resolved.items() if e.get("deltas")]
+        todo = with_deltas if buckets is None else [b for b in buckets if int(b) in set(with_deltas)]
+        if not todo:
+            return CommitResult(snap["version"], snap["snapshot_id"], 0, 0, None)
+        key_col, n_buckets = snap["key_col"], snap["n_buckets"]
+        v = snap["version"] + 1
+        state = self._reconciled(snap, buckets=todo).repartition(n_buckets, F.col(key_col))
+        new_files = self._write_buckets(state, v, key_col, n_buckets, aligned=True)
+        entries = {
+            str(b): {"base": new_files.get(str(b), []), "deltas": []} for b in todo
+        }
+        rows_written, bytes_rewritten = _footer_stats(
+            [f for fl in new_files.values() for f in fl]
+        )
+        props = dict(snap["properties"])
+        props["commits"] = props.get("commits", []) + [
+            {
+                "snapshot": v,
+                "status": "ok",
+                "kind": "compact",
+                "rows_written": rows_written,
+                "bytes_rewritten": bytes_rewritten,
+            }
+        ]
+        self._ledger_rollup(props, snap.get("ledger_keep", LEDGER_KEEP_DEFAULT))
+        new = dict(snap)
+        new.update(
+            version=v,
+            snapshot_id=v,
+            parent=snap["version"],
+            manifests=self._next_manifests(snap, v, entries),
+            properties=props,
+        )
+        self._commit_snapshot(new)
+        return CommitResult(v, v, rows_written, len(todo), None, bytes_rewritten)
+
     def expire_snapshots(self, keep_last: int = 2) -> dict:
         """Storage hygiene (Iceberg expire_snapshots analog): delete
-        data files referenced ONLY by snapshots older than the last
-        ``keep_last``, and their metadata. The current snapshot and its
-        recent ancestors stay time-travelable; the pointer file is never
-        touched, so this is safe against concurrent readers of retained
-        versions."""
+        data files and manifests referenced ONLY by snapshots older than
+        the last ``keep_last``, and their metadata. The current snapshot
+        and its recent ancestors stay time-travelable; the pointer file
+        is never touched, so this is safe against concurrent readers of
+        retained versions."""
         import shutil
 
         current = self._current_version()
@@ -340,9 +646,11 @@ class SnapshotTable:
         keep = set(versions[-keep_last:]) | {current}
         live_files: set[str] = set()
         live_ckpts: set[str] = set()
+        live_manifests: set[str] = set()
         for v in keep:
             snap = self.snapshot(v)
             live_files.update(self._all_files(snap))
+            live_manifests.update(snap.get("manifests", []))
             if snap.get("checkpoint_file"):
                 live_ckpts.add(snap["checkpoint_file"])
         removed_files = removed_snaps = 0
@@ -358,6 +666,12 @@ class SnapshotTable:
             if v not in keep:
                 os.remove(os.path.join(self.meta_dir, f"v{v}.json"))
                 removed_snaps += 1
+        if os.path.isdir(self.manifest_dir):
+            for f in os.listdir(self.manifest_dir):
+                p = os.path.join(self.manifest_dir, f)
+                if p not in live_manifests:
+                    os.remove(p)
+                    self._manifest_cache.pop(p, None)
         for f in os.listdir(self.meta_dir):
             p = os.path.join(self.meta_dir, f)
             if f.startswith("ckpt-") and p not in live_ckpts:
@@ -371,13 +685,7 @@ class SnapshotTable:
         weight. Rewrites every bucket (run rarely, like Iceberg
         rewrite_data_files)."""
         snap = self.snapshot()
-        schema = T.StructType.fromJson(snap["schema"])
-        files = self._all_files(snap)
-        full = (
-            _align(self.spark.read.option("mergeSchema", "true").parquet(*files), schema)
-            if files
-            else self.spark.createDataFrame([], schema)
-        )
+        full = self._reconciled(snap)
         kept = full.filter(
             ~F.coalesce(F.col(DELETED_COL), F.lit(False))
             | (F.col(LSN_COL) >= F.lit(before_lsn))
@@ -406,8 +714,9 @@ class SnapshotTable:
         touched_buckets: list[int] | None = None,
         dedupe_source: bool = False,
     ) -> CommitResult:
-        """MERGE INTO: per-key upsert/delete, bucket-granular CoW, with
-        a ROW-LEVEL last-writer-wins guard.
+        """MERGE INTO: per-key upsert/delete with a ROW-LEVEL
+        last-writer-wins guard; bucket-granular CoW or MoR deltas
+        depending on the table's ``merge_mode``.
 
         ``winners`` must have unique keys (the LWW reduce guarantees
         this — Iceberg MERGE has the same unique-source-key requirement)
@@ -434,14 +743,41 @@ class SnapshotTable:
             therefore a no-op even when the ledger cannot see it.
             Tombstones make delete-then-stale-replay safe: a dead key
             remembers the lsn that killed it.
+
+        A failed apply records a status="failed" row in the lineage
+        sidecar (visible via commit_log) and re-raises.
         """
         epochs = [] if epoch is None else ([epoch] if isinstance(epoch, int) else list(epoch))
         snap = self.snapshot()
-        applied = set(snap["properties"].get("epochs", []))
+        self._check_bucket_hash(snap)
+        applied = _epoch_set(snap["properties"])
         if epochs and all(e in applied for e in epochs):
             return CommitResult(snap["version"], snap["snapshot_id"], 0, 0, epochs[-1])
+        try:
+            return self._merge_inner(
+                winners, epochs, snap, checkpoint_df, op_col, lsn_col,
+                extra_properties, stats, touched_buckets, dedupe_source,
+            )
+        except Exception as exc:
+            if not isinstance(exc, CommitConflict):
+                self.record_failure(epochs, repr(exc), attempted_version=snap["version"] + 1)
+            raise
 
+    def _merge_inner(
+        self,
+        winners: DataFrame,
+        epochs: list[int],
+        snap: dict[str, Any],
+        checkpoint_df,
+        op_col: str,
+        lsn_col: str,
+        extra_properties,
+        stats,
+        touched_buckets,
+        dedupe_source: bool,
+    ) -> CommitResult:
         key_col, n_buckets = snap["key_col"], snap["n_buckets"]
+        mode = snap.get("merge_mode", "cow")
         schema = T.StructType.fromJson(snap["schema"])
 
         # additive schema evolution: source columns the table lacks
@@ -457,6 +793,12 @@ class SnapshotTable:
             schema = T.StructType(data_fields + new_fields + meta_fields)
 
         has_lsn = lsn_col in winners.columns
+        if mode == "mor" and not has_lsn:
+            raise ValueError(
+                "merge_mode='mor' requires an lsn column: read-side "
+                "reconciliation orders rows by (_lsn, commit sequence); "
+                "an lsn-less upsert has no position in that order."
+            )
         src = winners.withColumn(
             LSN_COL,
             F.col(lsn_col).cast("long") if has_lsn else F.lit(None).cast("long"),
@@ -464,69 +806,94 @@ class SnapshotTable:
         if has_lsn:
             src = src.drop(lsn_col)
         src = src.drop(op_col)
-        wb = _align(src, schema).withColumn(BUCKET_COL, bucket_expr(key_col, n_buckets))
-        wb.persist()
-        # callers that already aggregated per-bucket lineage stats know
-        # the touched set — saves one job over the batch
-        if touched_buckets is not None:
-            touched = list(touched_buckets)
-        else:
-            touched = [r[0] for r in wb.select(BUCKET_COL).distinct().collect()]
-
-        # Both sides are explicitly hash-partitioned on the merge key
-        # into exactly n_buckets partitions BEFORE the join. Spark's
-        # repartition(B, key) partitioner is pmod(murmur3(key), B) ==
-        # bucket_expr, so (a) the full-outer join reuses the children's
-        # partitioning (no ENSURE_REQUIREMENTS exchange), and (b) the
-        # join OUTPUT arrives one-partition-per-bucket, letting
-        # _write_buckets(aligned=True) skip the post-merge full-table
-        # repartition entirely — the merged table (the largest frame in
-        # the epoch) is never shuffled again after the join.
-        target = _align(self.read_buckets(touched), schema).repartition(
-            n_buckets, F.col(key_col)
-        )
-        data_cols = [f.name for f in schema.fields if f.name not in META_COLS and f.name != key_col]
-        s = wb.select(
-            F.col(key_col).alias("_s_key"),
-            F.col(LSN_COL).alias("_s_lsn"),
-            F.col(DELETED_COL).alias("_s_del"),
-            *[F.col(c).alias(f"_s_{c}") for c in data_cols],
-        ).repartition(n_buckets, F.col("_s_key"))
-        if dedupe_source:
-            s = s.dropDuplicates(["_s_key"])
-        j = target.join(s, target[key_col] == s["_s_key"], "full_outer")
-        # source wins when present and not older than the stored row;
-        # null source lsn means "unordered upsert" — always wins
-        take_src = F.col("_s_key").isNotNull() & (
-            F.col(LSN_COL).isNull()
-            | F.col("_s_lsn").isNull()
-            | (F.col("_s_lsn") >= F.col(LSN_COL))
-        )
-        merged = j.select(
-            F.coalesce(F.col("_s_key"), F.col(key_col)).alias(key_col),
-            *[
-                F.when(take_src, F.col(f"_s_{c}")).otherwise(F.col(c)).alias(c)
-                for c in data_cols
-            ],
-            F.when(take_src, F.col("_s_lsn")).otherwise(F.col(LSN_COL)).alias(LSN_COL),
-            F.when(take_src, F.col("_s_del"))
-            .otherwise(F.coalesce(F.col(DELETED_COL), F.lit(False)))
-            .alias(DELETED_COL),
-        )
 
         import time as _time
 
         _prof = os.environ.get("REPLAY_PROFILE") == "1"
         _t = _time.monotonic()
         v = snap["version"] + 1
-        new_files = self._write_buckets(merged, v, key_col, n_buckets, aligned=True)
+
+        if mode == "mor":
+            # merge-on-read: write the batch as per-bucket DELTA files —
+            # never read or rewrite the target. Write amplification is
+            # O(batch); readers pay the reconciliation window until
+            # compact() folds the deltas down.
+            sb = _align(src, schema).repartition(n_buckets, F.col(key_col))
+            if dedupe_source:
+                sb = sb.dropDuplicates([key_col])
+            new_files = self._write_buckets(sb, v, key_col, n_buckets, aligned=True)
+            if touched_buckets is not None:
+                touched = [int(b) for b in touched_buckets]
+            else:
+                touched = [int(b) for b in new_files]
+            resolved = self._resolve(snap)
+            entries = {}
+            for b in touched:
+                prev = resolved.get(str(b), {})
+                entries[str(b)] = {
+                    "base": list(prev.get("base", [])),
+                    "deltas": list(prev.get("deltas", [])) + new_files.get(str(b), []),
+                }
+        else:
+            wb = _align(src, schema).withColumn(BUCKET_COL, bucket_expr(key_col, n_buckets))
+            wb.persist()
+            # callers that already aggregated per-bucket lineage stats know
+            # the touched set — saves one job over the batch
+            if touched_buckets is not None:
+                touched = [int(b) for b in touched_buckets]
+            else:
+                touched = [r[0] for r in wb.select(BUCKET_COL).distinct().collect()]
+
+            # Both sides are explicitly hash-partitioned on the merge key
+            # into exactly n_buckets partitions BEFORE the join. Spark's
+            # repartition(B, key) partitioner is pmod(murmur3(key), B) ==
+            # bucket_expr, so (a) the full-outer join reuses the children's
+            # partitioning (no ENSURE_REQUIREMENTS exchange), and (b) the
+            # join OUTPUT arrives one-partition-per-bucket, letting
+            # _write_buckets(aligned=True) skip the post-merge full-table
+            # repartition entirely — the merged table (the largest frame in
+            # the epoch) is never shuffled again after the join.
+            target = _align(self.read_buckets(touched), schema).repartition(
+                n_buckets, F.col(key_col)
+            )
+            data_cols = [f.name for f in schema.fields if f.name not in META_COLS and f.name != key_col]
+            s = wb.select(
+                F.col(key_col).alias("_s_key"),
+                F.col(LSN_COL).alias("_s_lsn"),
+                F.col(DELETED_COL).alias("_s_del"),
+                *[F.col(c).alias(f"_s_{c}") for c in data_cols],
+            ).repartition(n_buckets, F.col("_s_key"))
+            if dedupe_source:
+                s = s.dropDuplicates(["_s_key"])
+            j = target.join(s, target[key_col] == s["_s_key"], "full_outer")
+            # source wins when present and not older than the stored row;
+            # null source lsn means "unordered upsert" — always wins
+            take_src = F.col("_s_key").isNotNull() & (
+                F.col(LSN_COL).isNull()
+                | F.col("_s_lsn").isNull()
+                | (F.col("_s_lsn") >= F.col(LSN_COL))
+            )
+            merged = j.select(
+                F.coalesce(F.col("_s_key"), F.col(key_col)).alias(key_col),
+                *[
+                    F.when(take_src, F.col(f"_s_{c}")).otherwise(F.col(c)).alias(c)
+                    for c in data_cols
+                ],
+                F.when(take_src, F.col("_s_lsn")).otherwise(F.col(LSN_COL)).alias(LSN_COL),
+                F.when(take_src, F.col("_s_del"))
+                .otherwise(F.coalesce(F.col(DELETED_COL), F.lit(False)))
+                .alias(DELETED_COL),
+            )
+            new_files = self._write_buckets(merged, v, key_col, n_buckets, aligned=True)
+            wb.unpersist()
+            # a CoW commit replaces each touched bucket's full state
+            entries = {
+                str(b): {"base": new_files.get(str(b), []), "deltas": []} for b in touched
+            }
+
         if _prof:
             print(f"[prof]   write_buckets={_time.monotonic() - _t:.2f}s", flush=True)
             _t = _time.monotonic()
-        wb.unpersist()
-        files = {b: fl for b, fl in snap["files"].items() if int(b) not in set(touched)}
-        for b in touched:
-            files[str(b)] = new_files.get(str(b), [])
 
         rows_written, bytes_rewritten = _footer_stats(
             [f for fl in new_files.values() for f in fl]
@@ -540,9 +907,12 @@ class SnapshotTable:
             **(stats or {}),
         }
         if epochs:
-            props["epochs"] = props.get("epochs", []) + epochs
+            es = _epoch_set(props)
+            es.explicit.update(int(e) for e in epochs)
+            _store_epochs(props, es)
             commit_info["epochs"] = epochs
         props["commits"] = props.get("commits", []) + [commit_info]
+        self._ledger_rollup(props, snap.get("ledger_keep", LEDGER_KEEP_DEFAULT))
         if extra_properties:
             props.update(extra_properties)
 
@@ -562,14 +932,17 @@ class SnapshotTable:
             "schema": json.loads(schema.json()),
             "key_col": key_col,
             "n_buckets": n_buckets,
-            "files": files,
+            "bucket_hash": snap.get("bucket_hash", BUCKET_HASH),
+            "merge_mode": mode,
+            "ledger_keep": snap.get("ledger_keep", LEDGER_KEEP_DEFAULT),
+            "manifests": self._next_manifests(snap, v, entries),
             "properties": props,
             "checkpoint_file": ckpt_file,
         }
         if _prof:
             print(f"[prof]   post_write(footers+ckpt+json)={_time.monotonic() - _t:.2f}s", flush=True)
         self._commit_snapshot(new)
-        return CommitResult(v, v, rows_written, len(touched), epoch, bytes_rewritten)
+        return CommitResult(v, v, rows_written, len(touched), epochs[-1] if epochs else None, bytes_rewritten)
 
 
 def _align(df: DataFrame, schema: T.StructType) -> DataFrame:

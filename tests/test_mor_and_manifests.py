@@ -1,0 +1,264 @@
+"""Round-3 table-format scale features: merge-on-read deltas,
+manifest-based snapshot metadata, ledger roll-up, epoch watermark,
+bucket-hash stamping, failed-commit lineage.
+
+These target the two at-scale design risks VERDICT r2 named: uniform
+batches turning bucket-CoW into whole-table rewrites per commit, and
+snapshot JSON growing O(table × history).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import datetime as _dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_gmaps_spark.datagen import gen_base, gen_changelog
+from etl_gmaps_spark.oracle import replay_oracle
+from etl_gmaps_spark.schemas import TARGET_SCHEMA
+from etl_gmaps_spark.streaming.replay import Replayer
+from etl_gmaps_spark.tableio import BucketHashMismatch, EpochSet, SnapshotTable
+from tests.conftest import assert_table_equal
+
+
+def make_table(spark, tmp_path, base=None, n_buckets=8, **kw):
+    return SnapshotTable.create(
+        spark, str(tmp_path / "tbl"), TARGET_SCHEMA, key_col="doc_id",
+        n_buckets=n_buckets, base_df=base, **kw,
+    )
+
+
+# ------------------------------------------------------------- MoR mode
+def test_mor_replay_matches_oracle(spark, tmp_path):
+    """The full replay scenario set (dup epochs, deletes, hot keys,
+    out-of-order) produces byte-identical final state in MoR mode."""
+    base = gen_base(spark, n_docs=300, seed=42)
+    log = gen_changelog(spark, n_docs=300, n_events=3000, seed=42, epoch_size=500)
+    table = make_table(spark, tmp_path, base, merge_mode="mor")
+    m = Replayer(table).run(log)
+    assert m.events_processed == 3000
+    expected = replay_oracle(base.toPandas(), log.toPandas())
+    assert_table_equal(table.read(), expected)
+
+
+def test_mor_uniform_batch_write_amplification(spark, tmp_path):
+    """THE MoR payoff: a small batch over a large table writes O(batch)
+    bytes, while CoW rewrites every touched bucket. The batch touches
+    all buckets uniformly (worst CoW case), so CoW ~rewrites the whole
+    table and MoR writes ≲2x the batch's own parquet size."""
+    n_docs, n_events = 4000, 200
+    base = gen_base(spark, n_docs=n_docs, seed=9)
+    log = gen_changelog(
+        spark, n_docs=n_docs, n_events=n_events, seed=9,
+        epoch_size=n_events, dup_epochs=(), hot_frac=0.0,
+    )
+    cow = SnapshotTable.create(
+        spark, str(tmp_path / "cow"), TARGET_SCHEMA, n_buckets=8, base_df=base
+    )
+    mor = SnapshotTable.create(
+        spark, str(tmp_path / "mor"), TARGET_SCHEMA, n_buckets=8, base_df=base,
+        merge_mode="mor",
+    )
+    cow_bytes = Replayer(cow).run(log)  # noqa: F841 — commit stats below
+    Replayer(mor).run(log)
+    cow_commit = cow.commit_log(latest=1)[0]
+    mor_commit = mor.commit_log(latest=1)[0]
+    base_bytes = sum(
+        os.path.getsize(f) for fl in cow.files_map(version=1).values() for f in fl
+    )
+    # CoW rewrote most of the table; MoR wrote a delta a fraction of it
+    assert cow_commit["bytes_rewritten"] > 0.5 * base_bytes
+    assert mor_commit["bytes_rewritten"] < 0.25 * cow_commit["bytes_rewritten"]
+    # and both read back to the same state
+    assert_table_equal(mor.read(), cow.read().toPandas())
+
+
+def test_mor_compact_folds_deltas(spark, tmp_path):
+    base = gen_base(spark, n_docs=200, seed=3)
+    log = gen_changelog(spark, n_docs=200, n_events=2000, seed=3, epoch_size=500)
+    table = make_table(spark, tmp_path, base, merge_mode="mor")
+    Replayer(table).run(log)
+    before = table.read().toPandas()
+    fm = table.files_map()
+    assert any("/s1/" not in f for fl in fm.values() for f in fl)  # deltas exist
+    res = table.compact()
+    assert res.buckets_rewritten > 0
+    fm2 = {
+        b: e for b, e in table._resolve(table.snapshot()).items()
+    }
+    assert all(not e.get("deltas") for e in fm2.values())  # all folded
+    assert_table_equal(table.read(), before)
+    # compaction is itself a ledger-visible commit
+    assert table.commit_log(latest=1)[0].get("kind") == "compact"
+
+
+def test_mor_crash_resume(spark, tmp_path):
+    from etl_gmaps_spark.streaming.replay import InjectedCrash
+
+    base = gen_base(spark, n_docs=150, seed=31)
+    log = gen_changelog(spark, n_docs=150, n_events=1500, seed=31, epoch_size=300)
+    table = make_table(spark, tmp_path, base, merge_mode="mor")
+    with pytest.raises(InjectedCrash):
+        Replayer(table).run(log, fail_after_epochs=2)
+    m = Replayer(table).run(log)
+    assert m.epochs_skipped >= 2
+    expected = replay_oracle(base.toPandas(), log.toPandas())
+    assert_table_equal(table.read(), expected)
+
+
+def test_mor_requires_lsn(spark, tmp_path):
+    table = make_table(spark, tmp_path, merge_mode="mor")
+    src = spark.createDataFrame(
+        [("doc-1", [1, 2], 2, "web", "U")],
+        "doc_id string, tokens array<int>, n_tok int, source string, op string",
+    )
+    with pytest.raises(ValueError, match="lsn"):
+        table.merge(src, lsn_col="missing_lsn")
+
+
+# ----------------------------------------------------- manifest scaling
+def test_snapshot_metadata_is_o_touched(spark, tmp_path):
+    """v{N}.json carries a manifest LIST, so its size is O(touched
+    buckets + 1) per commit, not O(table x history): after many commits
+    the newest snapshot json stays flat while the per-commit manifest
+    names only the touched buckets."""
+    base = gen_base(spark, n_docs=800, seed=5)
+    table = make_table(spark, tmp_path, base, n_buckets=16)
+    r = Replayer(table)
+    sizes = []
+    for i in range(6):
+        # each batch touches a handful of keys -> few buckets
+        batch = spark.createDataFrame(
+            [(f"doc-{i:08d}", [i], 1, "web", "U", 1000 + i, i, _dt.datetime(2023, 11, 14, 0, 0, i))],
+            "doc_id string, tokens array<int>, n_tok int, source string, op string, lsn long, epoch long, ts timestamp",
+        )
+        r.apply_batch(batch, epoch=100 + i)
+        sizes.append(os.path.getsize(os.path.join(table.meta_dir, f"v{table.snapshot()['version']}.json")))
+    # metadata growth per commit is bounded (manifest list of paths),
+    # nowhere near O(total files): ~constant within a small tolerance
+    assert max(sizes) - min(sizes) < 2000, sizes
+    # the last commit's own manifest lists only its touched bucket(s)
+    last_manifest = table.snapshot()["manifests"][-1]
+    with open(last_manifest) as fh:
+        entries = json.load(fh)["buckets"]
+    assert len(entries) <= 2
+    # untouched buckets resolve through OLDER manifests (reused by path)
+    assert len(table.files_map()) == 16
+    # time-travel still works across the manifest chain
+    assert table.read(version=2).count() > 0
+
+
+def test_manifest_list_consolidation(spark, tmp_path):
+    """Past MANIFEST_COMPACT_AT commits the manifest list folds to one
+    consolidated manifest — resolution cost stays O(1) files."""
+    from etl_gmaps_spark.tableio.snapshot_table import MANIFEST_COMPACT_AT
+
+    base = gen_base(spark, n_docs=100, seed=7)
+    table = make_table(spark, tmp_path, base, n_buckets=4)
+    r = Replayer(table)
+    for i in range(MANIFEST_COMPACT_AT + 2):
+        batch = spark.createDataFrame(
+            [(f"doc-{i % 50:08d}", [i], 1, "web", "U", 2000 + i, i, _dt.datetime(2023, 11, 14, 0, 0, i % 60))],
+            "doc_id string, tokens array<int>, n_tok int, source string, op string, lsn long, epoch long, ts timestamp",
+        )
+        r.apply_batch(batch, epoch=200 + i)
+    assert len(table.snapshot()["manifests"]) <= MANIFEST_COMPACT_AT
+    assert table.read().count() > 0
+
+
+def test_ledger_rollup_bounds_commit_list(spark, tmp_path):
+    base = gen_base(spark, n_docs=60, seed=8)
+    table = make_table(spark, tmp_path, base, n_buckets=4, ledger_keep=5)
+    r = Replayer(table)
+    for i in range(9):
+        batch = spark.createDataFrame(
+            [(f"doc-{i:08d}", [i], 1, "web", "U", 3000 + i, i, _dt.datetime(2023, 11, 14, 0, 1, i))],
+            "doc_id string, tokens array<int>, n_tok int, source string, op string, lsn long, epoch long, ts timestamp",
+        )
+        r.apply_batch(batch, epoch=300 + i)
+    props = table.properties()
+    assert len(props["commits"]) == 5  # newest K kept in full
+    ru = props["commits_rollup"]
+    assert ru["commits"] == 4 and ru["events"] == 4  # older rows aggregated
+    assert ru["first_snapshot"] == 2 and ru["last_snapshot"] == 5
+
+
+def test_epoch_watermark_compaction(spark, tmp_path):
+    """A contiguous epoch history stores ONE integer, not the list."""
+    base = gen_base(spark, n_docs=100, seed=4)
+    log = gen_changelog(spark, n_docs=100, n_events=2000, seed=4, epoch_size=200, dup_epochs=())
+    table = make_table(spark, tmp_path, base, n_buckets=4)
+    Replayer(table).run(log)
+    props = table.properties()
+    assert props["epochs_watermark"] == 10
+    assert props["epochs"] == []  # fully compacted
+    es = table.applied_epochs()
+    assert isinstance(es, EpochSet)
+    assert 9 in es and 10 not in es
+    # a sparse out-of-band key stays explicit without touching the mark
+    batch = spark.createDataFrame(
+        [("doc-00000001", [7], 1, "web", "U", 99999, 0, _dt.datetime(2023, 11, 14, 1, 0, 0))],
+        "doc_id string, tokens array<int>, n_tok int, source string, op string, lsn long, epoch long, ts timestamp",
+    )
+    Replayer(table).apply_batch(batch, epoch=1_000_000_123)
+    props = table.properties()
+    assert props["epochs_watermark"] == 10
+    assert props["epochs"] == [1_000_000_123]
+
+
+# --------------------------------------------------- hash stamp, lineage
+def test_bucket_hash_mismatch_fails_loudly(spark, tmp_path):
+    base = gen_base(spark, n_docs=40, seed=6)
+    table = make_table(spark, tmp_path, base, n_buckets=4)
+    # simulate a table persisted under a different hash function
+    snap = table.snapshot()
+    snap["bucket_hash"] = "xxhash64_v0"
+    snap["version"] += 1
+    table._commit_snapshot(snap)
+    src = spark.createDataFrame(
+        [("doc-00000001", [1], 1, "web", "U", 10, 0, _dt.datetime(2023, 11, 14, 2, 0, 0))],
+        "doc_id string, tokens array<int>, n_tok int, source string, op string, lsn long, epoch long, ts timestamp",
+    )
+    with pytest.raises(BucketHashMismatch):
+        table.merge(src, epoch=1)
+    with pytest.raises(BucketHashMismatch):
+        table.read_buckets([0])
+
+
+def test_failed_commit_lineage(spark, tmp_path):
+    """An apply that dies mid-write leaves a status='failed' ledger row
+    (the reference job state machine's `failed`, web/job.go:11-16);
+    resume applies the epoch and the ledger shows failed-then-ok."""
+    base = gen_base(spark, n_docs=80, seed=12)
+    log = gen_changelog(spark, n_docs=80, n_events=800, seed=12, epoch_size=400, dup_epochs=())
+    table = make_table(spark, tmp_path, base, n_buckets=4)
+    r = Replayer(table)
+    e0 = log.filter(F.col("epoch") == 0)
+    orig = table._write_buckets
+    calls = {"n": 0}
+
+    def boom(*a, **kw):
+        calls["n"] += 1
+        raise OSError("disk full (injected)")
+
+    table._write_buckets = boom
+    with pytest.raises(OSError):
+        r.apply_batch(e0, epoch=0)
+    table._write_buckets = orig
+    failed = table.commit_log(status="failed")
+    assert len(failed) == 1 and failed[0]["epochs"] == [0]
+    assert "disk full" in failed[0]["error"]
+    # resume: the epoch applies cleanly; ledger shows both rows
+    r2 = Replayer(table)
+    r2.apply_batch(e0, epoch=0)
+    ok = table.commit_log(status="ok")
+    assert any(c.get("epochs") == [0] for c in ok)
+    assert len(table.commit_log(status="failed")) == 1
+    assert_table_equal(
+        table.read(),
+        replay_oracle(base.toPandas(), e0.toPandas()),
+    )

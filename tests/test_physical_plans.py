@@ -128,7 +128,7 @@ def test_merge_bucket_alignment_one_file_per_bucket(spark, tmp_path):
     Replayer(table).run(log)
     snap = table.snapshot()
     assert snap["version"] == 2
-    for b, files in snap["files"].items():
+    for b, files in table.files_map().items():
         assert len(files) == 1, f"bucket {b}: {len(files)} files (alignment broken)"
     # rows physically live in the dir their key hashes to
     df = spark.read.parquet(os.path.join(root, "data", "s2"))

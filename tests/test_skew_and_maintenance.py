@@ -72,13 +72,13 @@ def test_tombstone_compaction(spark, tmp_path):
     expected = replay_oracle(base.toPandas(), log.toPandas())
     live_before = table.read().count()
     full = spark.read.option("mergeSchema", "true").parquet(
-        *[f for fl in table.snapshot()["files"].values() for f in fl]
+        *[f for fl in table.files_map().values() for f in fl]
     )
     n_tombstones = full.filter(F.col("_deleted")).count()
     assert n_tombstones > 0  # deletes happened
     table.compact_tombstones(before_lsn=10_000)
     full2 = spark.read.option("mergeSchema", "true").parquet(
-        *[f for fl in table.snapshot()["files"].values() for f in fl]
+        *[f for fl in table.files_map().values() for f in fl]
     )
     assert full2.filter(F.col("_deleted")).count() == 0
     assert_table_equal(table.read(), expected)  # live state unchanged
