@@ -19,9 +19,22 @@ primitives:
      broadcasts the pair side when it fits, so the payload never
      shuffles here; at worst it shuffles once, same volume as the
      one-shot plan but with no sort.
-  3. a final ``max_by`` over the joined candidates — at most one row
-     per key per replayed-epoch duplicate, so this (sort) aggregate
-     runs on winner-sized data, not the event stream.
+  3. a final ``max_by(struct(*), lsn)`` over the joined candidates —
+     at most one row per key per replayed-epoch duplicate, so this
+     aggregate runs on winner-sized data, not the event stream, and
+     max_by is a TypedImperativeAggregate: it plans as
+     ObjectHashAggregate with a map-side partial_max_by, NOT the
+     SortAggregate a struct-buffered DeclarativeAggregate (or a
+     dropDuplicates/first over string columns) would cost — measured:
+     dropDuplicates here plans two extra Sorts.
+
+  Two-phase vs the one-shot ``max_by(struct)``: at toy scale (sf0.1,
+  ~1.6M events) the extra scan + join costs ~0.5-1 s cold and the
+  plans tie warm; at 10^10 events the one-shot plan's SortAggregate
+  re-sorts the full token payload per map partition — the exact cost
+  this plan shape exists to avoid. The crossover is around "payload
+  no longer fits the shuffle page cache"; below it both are
+  sub-second, so the cluster-correct shape is the default.
 
 Skew strategy (north rule: "skew salting on hot doc_id keys"): the
 map-side partial in step 1 already collapses a hot key to one row per
@@ -69,7 +82,8 @@ def lww_winners(
         "leftsemi",
     )
     # replayed epochs duplicate the winning row byte-identically; this
-    # final reduce runs on winner-sized data (>=1 dup rows per key).
+    # final reduce runs on winner-sized data (>=1 dup rows per key) and
+    # plans as ObjectHashAggregate(partial_max_by) — see module doc #3.
     row = F.struct(*[F.col(c) for c in cols])
     final = cand.groupBy(key_col).agg(F.max_by(row, F.col(lsn_col)).alias("_w"))
     return final.select(*[F.col(f"_w.{c}").alias(c) for c in cols])

@@ -82,17 +82,22 @@ def _decode_stub(payload: bytes, media_type: str) -> list[float]:
     return [c / total for c in counts]
 
 
-def extract_features(media: DataFrame, batch_rows: int | None = 256) -> DataFrame:
+def extract_features(
+    media: DataFrame, batch_rows: int | None = None, n_rows: int | None = None
+) -> DataFrame:
     """Decode + featurize via mapInPandas (Arrow batches).
 
     ``batch_rows`` sizes the Python-worker fan-out: the input is
     coalesced to ceil(n / batch_rows) partitions so a 200-row input does
-    not pay 32 Python-worker cold starts. The sizing count is
-    column-pruned (no payload bytes read; parquet answers it from
-    footer statistics) and coalesce() merges partitions locally without
-    a shuffle, so no payload byte moves. Pass ``batch_rows=None`` to
-    keep the upstream partitioning (the right call when the scan was
-    already sized by ``spark.sql.files.maxPartitionBytes``)."""
+    not pay 32 Python-worker cold starts; coalesce() merges partitions
+    locally without a shuffle, so no payload byte moves. The default
+    (None) keeps the upstream partitioning — the right call when the
+    scan was already sized by ``spark.sql.files.maxPartitionBytes``,
+    and it never re-executes the source. When sizing IS wanted, pass
+    ``n_rows`` if the caller knows the count (a synthetic range, a
+    table with footer stats) — otherwise a column-pruned count() runs,
+    which executes the upstream plan once more (fine for a parquet
+    scan, expensive for a computed source)."""
 
     def featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -109,7 +114,7 @@ def extract_features(media: DataFrame, batch_rows: int | None = 256) -> DataFram
 
     src = media.select("media_id", "payload", "media_type")
     if batch_rows:
-        n = src.count()
+        n = n_rows if n_rows is not None else src.count()
         target = max(1, -(-n // batch_rows))
         if target < src.rdd.getNumPartitions():
             src = src.coalesce(target)

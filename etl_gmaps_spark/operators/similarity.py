@@ -197,6 +197,7 @@ def ivf_topk(
     centroid_id_col: str = "centroid_id",
     round_digits: int | None = None,
     assigned: DataFrame | None = None,
+    cell_col: str = "cell",
 ) -> DataFrame:
     """IVF (inverted-file) ANN: corpus rows are assigned to their nearest
     centroid (one shuffle-free scan — see assign_cells); each query
@@ -216,9 +217,27 @@ def ivf_topk(
             vectors, centroids, id_col, vec_col, centroid_id_col, "_cid", round_digits
         )
     else:
-        cols = list(assigned.columns)
-        ren = dict(zip(cols[:4], ["_vid", "_vv", "_vn", "_cid"]))
-        assigned = assigned.select(*[F.col(c).alias(ren.get(c, c)) for c in cols])
+        # resolve by NAME, never position: a pre-materialized assignment
+        # may arrive re-selected or embedded in a wider table, where a
+        # positional mapping would silently turn cell ids into vectors
+        names = set(assigned.columns)
+        if {"_vid", "_vv", "_vn", cell_col} <= names:  # raw assign_cells output
+            assigned = assigned.select(
+                "_vid", "_vv", "_vn", F.col(cell_col).alias("_cid")
+            )
+        elif {id_col, vec_col, cell_col} <= names:  # stored as table columns
+            vn = F.col("_vn") if "_vn" in names else _norm(vec_col)
+            assigned = assigned.select(
+                F.col(id_col).alias("_vid"),
+                F.col(vec_col).alias("_vv"),
+                vn.alias("_vn"),
+                F.col(cell_col).alias("_cid"),
+            )
+        else:
+            raise ValueError(
+                f"assigned must carry ({id_col}, {vec_col}, {cell_col}) or raw "
+                f"assign_cells columns (_vid, _vv, _vn, {cell_col}); got {sorted(names)}"
+            )
     probes = probe_cells(
         queries, centroids, n_probe, vec_col, query_id_col, centroid_id_col, "_cid", round_digits
     )

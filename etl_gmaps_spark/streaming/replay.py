@@ -161,7 +161,11 @@ class Replayer:
         observed = batch.observe(
             dup_obs,
             F.count(F.lit(1)).alias("raw_rows"),
-            F.approx_count_distinct(self.lsn_col, rsd=0.02).alias("approx_rows"),
+            # rsd=0.005: the dup threshold must resolve ONE replayed epoch
+            # inside a batch_epochs-grouped slice, where the duplicate is
+            # only ~1/k of the rows — 2% HLL noise would drown it past
+            # k≈5. 0.5% keeps a 6-sigma no-false-trip floor up to k≈30.
+            F.approx_count_distinct(self.lsn_col, rsd=0.005).alias("approx_rows"),
         )
         counters = [
             F.count(F.lit(1)).alias("_cnt"),
@@ -245,12 +249,19 @@ class Replayer:
         ]
         if _prof:
             print(f"[prof] epoch={epochs[-1]} stats_collect={monotonic() - _t:.2f}s", flush=True)
-        # dup detection: a replayed epoch doubles raw vs distinct; HLL
-        # rsd=0.02 makes 1.10 a >4-sigma threshold — no false trips.
+        # dup detection: a replayed epoch among the k epochs of this
+        # slice adds ~raw/(k+1) rows, so the trip level scales with k
+        # instead of the fixed 10% that a >=10-epoch group dilutes past
+        # (one dup epoch in 10 is +10% raw — exactly at the old bar).
+        # Floor: 6 sigma of the rsd=0.005 HLL so noise never trips it.
+        # A miss past k≈30 only inflates ledger stats (~3%); merge
+        # output stays exact via the row-level lsn guard.
         # dup_obs rode the keyed-agg scan; the collect above makes it
         # available.
         dup = dict(dup_obs.get)
-        if dup["raw_rows"] > 1.10 * (dup["approx_rows"] or 1):
+        approx = dup["approx_rows"] or 1
+        trip = max(0.4 * dup["raw_rows"] / (len(epochs) + 1), 0.03 * approx)
+        if dup["raw_rows"] - approx > trip:
             # rare path: the slice physically contains a replayed epoch —
             # recompute the EXACT deduped row/byte counters (narrow
             # projection first: the payload never enters this shuffle)

@@ -262,3 +262,25 @@ def test_failed_commit_lineage(spark, tmp_path):
         table.read(),
         replay_oracle(base.toPandas(), e0.toPandas()),
     )
+
+
+def test_grouped_commit_detects_diluted_dup_epoch(spark, tmp_path):
+    """One replayed epoch inside a 10-epoch grouped commit is only +10%
+    raw rows — exactly at the old fixed 1.10 trip level, so it was
+    missed and rows_applied silently counted the duplicate. The scaled
+    threshold (0.4*raw/(k+1) with an HLL noise floor) must catch it:
+    events_processed and the checkpoint lineage count each event once."""
+    base = gen_base(spark, n_docs=200, seed=14)
+    log = gen_changelog(
+        spark, n_docs=200, n_events=2000, seed=14, epoch_size=200, dup_epochs=(2,)
+    )
+    table = make_table(spark, tmp_path, base, n_buckets=4)
+    m = Replayer(table).run(log, batch_epochs=10)
+    assert m.epochs_applied == 10
+    assert m.events_processed == 2000  # the replayed epoch counted once
+    import pandas as pd
+
+    ckpt = pd.DataFrame(table.checkpoint_rows())
+    assert ckpt["rows_applied"].sum() == 2000
+    expected = replay_oracle(base.toPandas(), log.toPandas())
+    assert_table_equal(table.read(), expected)
