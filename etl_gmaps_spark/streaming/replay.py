@@ -60,6 +60,13 @@ class ReplayMetrics:
     rows_upserted: int = 0
     elapsed_sec: float = 0.0
     per_epoch: list[dict] = field(default_factory=list)
+    # REPLAY_PROFILE=1 only: wall-seconds summed over all commits, split
+    # into cluster jobs (stats_collect, write_buckets) and driver-serial
+    # work (post_write footer/ckpt, snapshot_commit JSON) — everything
+    # else (plan/optimize, python glue, epoch listing) lands in
+    # driver_other at report time. The Amdahl evidence for the N->4N
+    # scaling claim: the serial share bounds achievable efficiency.
+    prof: dict = field(default_factory=dict)
 
     @property
     def events_per_sec(self) -> float:
@@ -235,7 +242,8 @@ class Replayer:
         import os as _os
 
         _prof = _os.environ.get("REPLAY_PROFILE") == "1"
-        _t = monotonic()
+        _t0_batch = monotonic()
+        _t = _t0_batch
         stats_rows = [
             r.asDict()
             for r in keyed.groupBy(bucket_expr(self.key_col, n_buckets).alias("_p"))
@@ -247,8 +255,9 @@ class Replayer:
             )
             .collect()
         ]
+        _stats_sec = monotonic() - _t
         if _prof:
-            print(f"[prof] epoch={epochs[-1]} stats_collect={monotonic() - _t:.2f}s", flush=True)
+            print(f"[prof] epoch={epochs[-1]} stats_collect={_stats_sec:.2f}s", flush=True)
         # dup detection: a replayed epoch among the k epochs of this
         # slice adds ~raw/(k+1) rows, so the trip level scales with k
         # instead of the fixed 10% that a >=10-epoch group dilutes past
@@ -310,6 +319,17 @@ class Replayer:
         if _prof:
             print(f"[prof] epoch={epochs[-1]} merge={monotonic() - _t:.2f}s", flush=True)
         keyed.unpersist()
+        prof = None
+        if _prof:
+            prof = dict(res.prof or {})
+            prof["stats_collect"] = _stats_sec
+            # driver glue between/around the two cluster actions: dup
+            # check, exact-dedupe rare path, checkpoint merge, plan time
+            prof["batch_other"] = max(
+                0.0, (monotonic() - _t0_batch) - _stats_sec - sum(
+                    (res.prof or {}).values()
+                )
+            )
         # available as soon as the merge action finished (same job)
         live = obs.get if obs is not None else {}
         return {
@@ -321,6 +341,7 @@ class Replayer:
             "deletes": int(live.get("deletes") or 0),
             "snapshot": res.snapshot_id,
             "buckets_rewritten": res.buckets_rewritten,
+            "prof": prof,
         }
 
     # -------------------------------------------------------------- run
@@ -355,6 +376,9 @@ class Replayer:
                 m.events_processed += info["events"]
                 m.rows_upserted += info["rows"]
             m.per_epoch.append(info)
+            if info.get("prof"):
+                for k, val in info["prof"].items():
+                    m.prof[k] = m.prof.get(k, 0.0) + val
             if fail_after_epochs is not None and m.epochs_applied >= fail_after_epochs:
                 m.elapsed_sec = monotonic() - t0
                 raise InjectedCrash(f"injected crash after {m.epochs_applied} epochs")

@@ -138,6 +138,12 @@ class CommitResult:
     # events ≈ bytes_rewritten / (E × avg_row_bytes); surfaced per-commit
     # in the ledger (commit_info) and aggregated by bench.py.
     bytes_rewritten: int = 0
+    # REPLAY_PROFILE=1 only: wall-seconds per commit phase —
+    # write_buckets (cluster job), post_write (driver serial: parquet
+    # footer stats + checkpoint + ledger rollup), snapshot_commit
+    # (driver serial: metadata JSON write). Feeds the Amdahl
+    # decomposition in BENCH/BASELINE.md.
+    prof: dict | None = None
 
 
 class EpochSet:
@@ -891,8 +897,10 @@ class SnapshotTable:
                 str(b): {"base": new_files.get(str(b), []), "deltas": []} for b in touched
             }
 
+        _prof_d: dict | None = None
         if _prof:
-            print(f"[prof]   write_buckets={_time.monotonic() - _t:.2f}s", flush=True)
+            _prof_d = {"write_buckets": _time.monotonic() - _t}
+            print(f"[prof]   write_buckets={_prof_d['write_buckets']:.2f}s", flush=True)
             _t = _time.monotonic()
 
         rows_written, bytes_rewritten = _footer_stats(
@@ -939,10 +947,17 @@ class SnapshotTable:
             "properties": props,
             "checkpoint_file": ckpt_file,
         }
-        if _prof:
-            print(f"[prof]   post_write(footers+ckpt+json)={_time.monotonic() - _t:.2f}s", flush=True)
+        if _prof_d is not None:
+            _prof_d["post_write"] = _time.monotonic() - _t
+            print(f"[prof]   post_write(footers+ckpt)={_prof_d['post_write']:.2f}s", flush=True)
+            _t = _time.monotonic()
         self._commit_snapshot(new)
-        return CommitResult(v, v, rows_written, len(touched), epochs[-1] if epochs else None, bytes_rewritten)
+        if _prof_d is not None:
+            _prof_d["snapshot_commit"] = _time.monotonic() - _t
+        return CommitResult(
+            v, v, rows_written, len(touched), epochs[-1] if epochs else None,
+            bytes_rewritten, _prof_d,
+        )
 
 
 def _align(df: DataFrame, schema: T.StructType) -> DataFrame:
