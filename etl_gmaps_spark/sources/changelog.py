@@ -17,6 +17,23 @@ from pyspark.sql import functions as F
 from etl_gmaps_spark.tableio.snapshot_table import SnapshotTable, bucket_expr
 
 
+def list_log_epochs(spark: SparkSession, path: str) -> list[int]:
+    """Metadata-only listing of the log's ``epoch=N`` partition
+    directories (Hadoop FS, any scheme) — the same listing Spark's own
+    partition discovery performs, no data files touched. At 10^7 epochs
+    this is a driver-side directory scan, the cost a table format pays
+    once per poll; epoch-range manifests would subsume it."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    out = []
+    for status in fs.listStatus(hpath):
+        name = status.getPath().getName()
+        if name.startswith("epoch="):
+            out.append(int(name.split("=", 1)[1]))
+    return sorted(out)
+
+
 def read_changelog(spark: SparkSession, path: str, since_lsn: int | None = None) -> DataFrame:
     """Plain log read with an optional global low-water-mark pushdown
     (epoch/lsn range predicates reach the scan; with an epoch-
@@ -32,6 +49,7 @@ def read_pending(
     path: str,
     table: SnapshotTable,
     key_col: str = "doc_id",
+    max_epochs: int | None = None,
 ) -> DataFrame:
     """S2: events not yet reflected in the table, per partition.
 
@@ -40,11 +58,23 @@ def read_pending(
     non-destructive analog of claiming `new` rows. The global min over
     the checkpoint is also pushed into the scan so file skipping happens
     BEFORE the join (coarse prune scan-side, exact prune join-side).
+
+    ``max_epochs`` is the source-side fetch cap (SURVEY.md O4): the
+    reference's ``maxDepth`` bounds how many result pages one job
+    scrolls (gmaps/job.go:289-357); here one poll claims at most the K
+    oldest epochs absent from the table's applied-epoch ledger. The cap
+    becomes an ``epoch IN (...)`` predicate on the partition column —
+    directory-level pruning, unclaimed epochs are never even listed for
+    data files.
     """
     rows = table.checkpoint_rows() or []
     n_buckets = table.snapshot()["n_buckets"]
     global_low = min((r["last_lsn"] for r in rows), default=None) if rows else None
     log = read_changelog(spark, path, since_lsn=global_low)
+    if max_epochs is not None:
+        applied = table.applied_epochs()
+        claim = [e for e in list_log_epochs(spark, path) if e not in applied][:max_epochs]
+        log = log.filter(F.col("epoch").isin([int(e) for e in claim]))
     if not rows:
         return log
     ckpt = spark.createDataFrame(

@@ -350,11 +350,19 @@ class Replayer:
         log: DataFrame,
         fail_after_epochs: int | None = None,
         batch_epochs: int = 1,
+        max_epochs: int | None = None,
     ) -> ReplayMetrics:
         """Replay the whole log; resumable and idempotent.
 
         ``fail_after_epochs`` injects a crash after N successful commits
         (test hook for the crash-resume scenario).
+
+        ``max_epochs`` is the bounded-fetch cap (SURVEY.md O4, the
+        reference's maxDepth scroll bound, gmaps/job.go:289-357): one
+        invocation applies at most the N oldest pending epochs, then
+        returns. Because the ledger/checkpoint advance per commit, the
+        next invocation resumes exactly where this one stopped — the
+        driver-loop analog of a source that fetches K pages per poll.
         """
         m = ReplayMetrics()
         t0 = monotonic()
@@ -366,6 +374,8 @@ class Replayer:
         ]
         pending = [e for e in epochs if e not in done]
         m.epochs_skipped = len(epochs) - len(pending)
+        if max_epochs is not None:
+            pending = pending[:max_epochs]
 
         for group_start in range(0, len(pending), batch_epochs):
             group = [int(e) for e in pending[group_start : group_start + batch_epochs]]

@@ -64,6 +64,52 @@ def test_read_pending_after_partial_apply(spark, tmp_path):
     assert_table_equal(table.read(), expected)
 
 
+def test_read_pending_max_epochs_fetch_cap(spark, tmp_path):
+    """O4: one poll claims at most the K oldest unapplied epochs
+    (the reference's maxDepth scroll bound, gmaps/job.go:289-357),
+    and the cap prunes at the partition-directory level."""
+    from etl_gmaps_spark.streaming.replay import Replayer
+
+    base = gen_base(spark, n_docs=100, seed=56)
+    log = gen_changelog(spark, n_docs=100, n_events=1000, seed=56, epoch_size=250, dup_epochs=())
+    log_path = str(tmp_path / "log")
+    log.write.partitionBy("epoch").parquet(log_path)
+    table = SnapshotTable.create(spark, str(tmp_path / "tbl"), TARGET_SCHEMA, base_df=base)
+    r = Replayer(table)
+    r.apply_batch(spark.read.parquet(log_path).filter(F.col("epoch") == 0), epoch=0)
+
+    capped = read_pending(spark, log_path, table, max_epochs=2)
+    assert {row[0] for row in capped.select("epoch").distinct().collect()} == {1, 2}
+    # the epoch cap reaches the scan as a partition filter, not a post-scan filter
+    plan = capped._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "epoch" in plan.split("PartitionFilters", 1)[1][:200]
+
+    # uncapped poll still sees everything pending
+    assert {row[0] for row in read_pending(spark, log_path, table)
+            .select("epoch").distinct().collect()} == {1, 2, 3}
+
+
+def test_replayer_run_max_epochs_resumes(spark, tmp_path):
+    """O4 driver loop: run(max_epochs=N) applies the N oldest pending
+    epochs and a later uncapped run finishes the log exactly-once."""
+    from etl_gmaps_spark.oracle import replay_oracle
+    from etl_gmaps_spark.streaming.replay import Replayer
+    from tests.conftest import assert_table_equal
+
+    base = gen_base(spark, n_docs=100, seed=57)
+    log = gen_changelog(spark, n_docs=100, n_events=1000, seed=57, epoch_size=250, dup_epochs=())
+    table = SnapshotTable.create(spark, str(tmp_path / "tbl"), TARGET_SCHEMA, base_df=base)
+    r = Replayer(table)
+    m1 = r.run(log, max_epochs=2)
+    assert m1.epochs_applied == 2
+    m2 = r.run(log, max_epochs=2)
+    assert m2.epochs_applied == 2 and m2.epochs_skipped == 2
+    m3 = r.run(log)  # nothing left
+    assert m3.epochs_applied == 0 and m3.epochs_skipped == 4
+    expected = replay_oracle(base.toPandas(), log.toPandas())
+    assert_table_equal(table.read(), expected)
+
+
 def test_scalar_functions(spark):
     from etl_gmaps_spark.functions import (
         clean_na,
