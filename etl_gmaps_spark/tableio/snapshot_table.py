@@ -439,24 +439,39 @@ class SnapshotTable:
             if buckets is None
             else {str(b): resolved.get(str(b), {}) for b in buckets}
         )
-        base = [f for e in sel.values() for f in e.get("base", [])]
+        # Only delta-bearing buckets need the per-key window; pure-CoW
+        # buckets (the vast majority after a small batch or a compact())
+        # are read plain and unioned in. At 10^10-row scale this bounds
+        # the reconcile shuffle to ~delta-touched data instead of
+        # re-windowing the whole table on every read.
+        clean = [
+            f for e in sel.values() if not e.get("deltas")
+            for f in e.get("base", [])
+        ]
+        dirty_base = [
+            f for e in sel.values() if e.get("deltas")
+            for f in e.get("base", [])
+        ]
         deltas = [f for e in sel.values() for f in e.get("deltas", [])]
         if not deltas:
-            return self._read_files(base, schema)
+            return self._read_files(clean, schema)
         from pyspark.sql import Window as W
 
-        df = self._read_files(base + deltas, schema).withColumn(
+        df = self._read_files(dirty_base + deltas, schema).withColumn(
             "_seq",
             F.regexp_extract(F.input_file_name(), r"/s(\d+)/", 1).cast("long"),
         )
         w = W.partitionBy(snap["key_col"]).orderBy(
             F.col(LSN_COL).desc_nulls_last(), F.col("_seq").desc()
         )
-        return (
+        reconciled = (
             df.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1)
             .drop("_rn", "_seq")
         )
+        if not clean:
+            return reconciled
+        return self._read_files(clean, schema).unionByName(reconciled)
 
     def read(self, version: int | None = None, include_meta: bool = False) -> DataFrame:
         """Current (or time-travel) state. Tombstoned rows are filtered

@@ -284,3 +284,34 @@ def test_grouped_commit_detects_diluted_dup_epoch(spark, tmp_path):
     assert ckpt["rows_applied"].sum() == 2000
     expected = replay_oracle(base.toPandas(), log.toPandas())
     assert_table_equal(table.read(), expected)
+
+
+def test_mor_reconcile_windows_only_delta_buckets(spark, tmp_path):
+    """Reads of a MoR table window ONLY the buckets that have deltas;
+    pure-base buckets are scanned plain and unioned in. A 1-key delta
+    on an 8-bucket table must not re-shuffle the other 7 buckets."""
+    base = gen_base(spark, n_docs=400, seed=11)
+    table = make_table(spark, tmp_path, base, merge_mode="mor")
+    one = base.limit(1).collect()[0]
+    batch = spark.createDataFrame(
+        [(one["doc_id"], [1, 2, 3], 3, one["source"], 10_000, "U")],
+        schema="doc_id string, tokens array<int>, n_tok int, source string, lsn long, op string",
+    )
+    table.merge(batch, epoch=1)
+    snap = table.snapshot()
+    resolved = table._resolve(snap)
+    dirty = [b for b, e in resolved.items() if e.get("deltas")]
+    assert len(dirty) == 1  # the delta touched exactly one bucket
+    # optimizedPlan: AQE's executedPlan string is lazy (isFinalPlan=false)
+    # and may elide subtrees; the optimized logical plan is stable.
+    plan = table.read()._jdf.queryExecution().optimizedPlan().toString()
+    assert "Union" in plan  # clean buckets bypass the reconcile window
+    assert plan.count("Window ") == 1
+    # the window branch reads only the dirty bucket's files: every clean
+    # bucket's base file count stays outside the windowed relation
+    n_scans = plan.count("Relation")
+    assert n_scans == 2  # one clean multi-file scan + one dirty scan
+    # correctness: the updated row wins, everything else unchanged
+    got = table.read().filter(F.col("doc_id") == one["doc_id"]).collect()[0]
+    assert got["tokens"] == [1, 2, 3]
+    assert table.read().count() == 400
