@@ -26,6 +26,46 @@ def iceberg_available(spark: SparkSession) -> bool:
         return False
 
 
+# --- SQL generation (pure functions, unit-testable without the jar) ---
+# The sandbox cannot EXECUTE these (no iceberg-spark-runtime), but
+# tests/test_skew_and_maintenance.py parses every statement with
+# Spark's own SQL parser, so the syntax is verified in-sandbox and only
+# Iceberg-side resolution is deferred to a real cluster.
+
+def create_table_sql(
+    identifier: str, schema: T.StructType, key_col: str, n_buckets: int
+) -> str:
+    cols = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in schema.fields)
+    return (
+        f"CREATE TABLE {identifier} ({cols}) USING iceberg "
+        f"PARTITIONED BY (bucket({n_buckets}, {key_col}))"
+    )
+
+
+def add_column_sql(identifier: str, name: str, data_type: T.DataType) -> str:
+    return f"ALTER TABLE {identifier} ADD COLUMN {name} {data_type.simpleString()}"
+
+
+def merge_sql(
+    identifier: str, key: str, payload_cols: list[str], op_col: str = "op",
+    source_view: str = "_cdc_source",
+) -> str:
+    """The exactly-once apply statement (SnapshotTable.merge parity):
+    delete winners drop the row, update winners replace the payload,
+    unseen non-delete keys insert. ``payload_cols`` excludes ``op_col``.
+    """
+    sets = ", ".join(f"t.{c} = s.{c}" for c in payload_cols)
+    cols = ", ".join(payload_cols)
+    vals = ", ".join(f"s.{c}" for c in payload_cols)
+    return f"""
+        MERGE INTO {identifier} t USING {source_view} s
+        ON t.{key} = s.{key}
+        WHEN MATCHED AND s.{op_col} = 'D' THEN DELETE
+        WHEN MATCHED THEN UPDATE SET {sets}
+        WHEN NOT MATCHED AND s.{op_col} != 'D' THEN INSERT ({cols}) VALUES ({vals})
+    """
+
+
 class IcebergTable:
     """MERGE INTO / snapshot-properties implementation on Iceberg SQL.
 
@@ -50,11 +90,7 @@ class IcebergTable:
         n_buckets: int = 16,
         base_df: DataFrame | None = None,
     ) -> "IcebergTable":
-        cols = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in schema.fields)
-        spark.sql(
-            f"CREATE TABLE {identifier} ({cols}) USING iceberg "
-            f"PARTITIONED BY (bucket({n_buckets}, {key_col}))"
-        )
+        spark.sql(create_table_sql(identifier, schema, key_col, n_buckets))
         t = cls(spark, identifier)
         if base_df is not None:
             base_df.writeTo(identifier).append()
@@ -124,23 +160,10 @@ class IcebergTable:
         target_cols = {f.name for f in self.schema().fields}
         for f in winners.schema.fields:
             if f.name not in target_cols and f.name != op_col:
-                self.spark.sql(
-                    f"ALTER TABLE {self.identifier} ADD COLUMN {f.name} {f.dataType.simpleString()}"
-                )
+                self.spark.sql(add_column_sql(self.identifier, f.name, f.dataType))
         winners.createOrReplaceTempView("_cdc_source")
-        sets = ", ".join(f"t.{c} = s.{c}" for c in payload)
-        cols = ", ".join(payload)
-        vals = ", ".join(f"s.{c}" for c in payload)
         key = [f.name for f in winners.schema.fields][0]  # convention: key first
-        self.spark.sql(
-            f"""
-            MERGE INTO {self.identifier} t USING _cdc_source s
-            ON t.{key} = s.{key}
-            WHEN MATCHED AND s.{op_col} = 'D' THEN DELETE
-            WHEN MATCHED THEN UPDATE SET {sets}
-            WHEN NOT MATCHED AND s.{op_col} != 'D' THEN INSERT ({cols}) VALUES ({vals})
-            """
-        )
+        self.spark.sql(merge_sql(self.identifier, key, payload, op_col))
         snap = self.spark.sql(
             f"SELECT snapshot_id FROM {self.identifier}.snapshots ORDER BY committed_at DESC LIMIT 1"
         ).collect()[0][0]
