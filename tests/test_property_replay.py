@@ -53,3 +53,73 @@ import pytest  # noqa: E402
 @pytest.fixture(name="spark_session_holder")
 def _holder(spark):
     return spark
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(event, min_size=1, max_size=30),
+    st.sampled_from(["cow", "mor"]),
+    st.integers(min_value=1, max_value=3),
+    st.randoms(),
+)
+def test_random_streams_through_full_engine(
+    spark_session_holder, events, merge_mode, batch_epochs, rnd
+):
+    """End-to-end property: arbitrary op streams through the REAL table
+    engine (SnapshotTable commits + Replayer loop) in both merge modes
+    and with random commit grouping equal the oracle, and a full re-run
+    of the same log is a no-op (epoch-ledger idempotence)."""
+    import shutil
+    import tempfile
+
+    from etl_gmaps_spark.schemas import TARGET_SCHEMA
+    from etl_gmaps_spark.streaming.replay import Replayer
+    from etl_gmaps_spark.tableio import SnapshotTable
+
+    spark = spark_session_holder
+    rows = []
+    for lsn, (doc, op, toks) in enumerate(events, start=1):
+        if op == "D":
+            rows.append((lsn, lsn // 10, op, doc, None, None, None))
+        else:
+            rows.append((lsn, lsn // 10, op, doc, toks, len(toks), "web"))
+    rnd.shuffle(rows)
+    pdf = pd.DataFrame(
+        rows, columns=["lsn", "epoch", "op", "doc_id", "tokens", "n_tok", "source"]
+    )
+    # engine log schema carries an event timestamp (CHANGELOG_SCHEMA);
+    # deterministic from lsn so replays are bit-identical
+    pdf["ts"] = pd.to_datetime(pdf["lsn"], unit="s", utc=True)
+    log = spark.createDataFrame(
+        pdf,
+        "lsn long, epoch long, op string, doc_id string, tokens array<int>, "
+        "n_tok int, source string, ts timestamp",
+    )
+    want = replay_oracle(None, pdf.drop(columns=["ts"]))
+    want = want.sort_values("doc_id").reset_index(drop=True)
+    workdir = tempfile.mkdtemp(prefix="prop_engine_")
+    try:
+        table = SnapshotTable.create(
+            spark, f"{workdir}/t", TARGET_SCHEMA, n_buckets=4, merge_mode=merge_mode
+        )
+        m1 = Replayer(table).run(log, batch_epochs=batch_epochs)
+        assert m1.events_processed == len(rows)
+        v1 = table._current_version()
+
+        def state() -> pd.DataFrame:
+            got = table.read().toPandas().sort_values("doc_id").reset_index(drop=True)
+            got["tokens"] = got["tokens"].map(
+                lambda v: None if v is None else tuple(v)
+            )
+            return got[sorted(got.columns)]
+
+        w = want.copy()
+        w["tokens"] = w["tokens"].map(lambda v: None if v is None else tuple(v))
+        pd.testing.assert_frame_equal(state(), w[sorted(w.columns)], check_dtype=False)
+        # idempotent re-run: every epoch already in the ledger
+        m2 = Replayer(table).run(log, batch_epochs=batch_epochs)
+        assert m2.events_processed == 0
+        assert table._current_version() == v1
+        pd.testing.assert_frame_equal(state(), w[sorted(w.columns)], check_dtype=False)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
