@@ -116,6 +116,14 @@ BUCKET_HASH = "murmur3_pmod_v1"
 
 MANIFEST_COMPACT_AT = 32  # fold the manifest list when it grows past this
 LEDGER_KEEP_DEFAULT = 64  # full per-commit ledger rows kept before roll-up
+# MoR reconcile: below this total delta FILE size the delta KEY SET
+# broadcasts and untouched base rows bypass the per-key window
+# (anti-join, no shuffle); above it the full window runs. The broadcast
+# is only the distinct keys — roughly 10-20% of delta file bytes (rows
+# carry tokens payload, keys don't) — so 256 MB of deltas is a ~25-50 MB
+# key broadcast, inside the same budget the merge's winner semi-join
+# already uses.
+MOR_BROADCAST_RECONCILE_BYTES = 256 * 1024 * 1024
 
 
 class CommitConflict(Exception):
@@ -457,18 +465,43 @@ class SnapshotTable:
             return self._read_files(clean, schema)
         from pyspark.sql import Window as W
 
-        df = self._read_files(dirty_base + deltas, schema).withColumn(
-            "_seq",
-            F.regexp_extract(F.input_file_name(), r"/s(\d+)/", 1).cast("long"),
+        key_col = snap["key_col"]
+        seq = F.regexp_extract(F.input_file_name(), r"/s(\d+)/", 1).cast("long")
+        delta_bytes = sum(
+            os.path.getsize(f) for f in deltas if os.path.exists(f)
         )
-        w = W.partitionBy(snap["key_col"]).orderBy(
+        if delta_bytes <= MOR_BROADCAST_RECONCILE_BYTES:
+            # Small-delta fast path (the common shape between compactions
+            # at 10^10 scale: batch ≪ table). The delta key set broadcasts;
+            # dirty-bucket base rows whose key has no delta bypass the
+            # window via a broadcast ANTI join — zero shuffle for them —
+            # and only (delta rows + their base counterparts), i.e.
+            # O(batch) rows, enter the per-key window. Relies on the
+            # engine invariant that base files hold one row per key
+            # (merge/compact output is winner-unique; create() assumes a
+            # key-unique base_df, the table's merge-key contract).
+            d_df = self._read_files(deltas, schema).withColumn("_seq", seq)
+            b_df = self._read_files(dirty_base, schema).withColumn("_seq", seq)
+            keys = F.broadcast(d_df.select(key_col).distinct())
+            untouched = b_df.join(keys, key_col, "left_anti")
+            contested = b_df.join(keys, key_col, "leftsemi").unionByName(d_df)
+        else:
+            # Deltas rival the table (bulk replay without compact):
+            # broadcasting keys would blow the driver; window everything.
+            untouched = None
+            contested = self._read_files(dirty_base + deltas, schema).withColumn(
+                "_seq", seq
+            )
+        w = W.partitionBy(key_col).orderBy(
             F.col(LSN_COL).desc_nulls_last(), F.col("_seq").desc()
         )
         reconciled = (
-            df.withColumn("_rn", F.row_number().over(w))
+            contested.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1)
             .drop("_rn", "_seq")
         )
+        if untouched is not None:
+            reconciled = untouched.drop("_seq").unionByName(reconciled)
         if not clean:
             return reconciled
         return self._read_files(clean, schema).unionByName(reconciled)

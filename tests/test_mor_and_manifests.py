@@ -307,10 +307,9 @@ def test_mor_reconcile_windows_only_delta_buckets(spark, tmp_path):
     plan = table.read()._jdf.queryExecution().optimizedPlan().toString()
     assert "Union" in plan  # clean buckets bypass the reconcile window
     assert plan.count("Window ") == 1
-    # the window branch reads only the dirty bucket's files: every clean
-    # bucket's base file count stays outside the windowed relation
-    n_scans = plan.count("Relation")
-    assert n_scans == 2  # one clean multi-file scan + one dirty scan
+    # small delta => broadcast key-split: untouched base rows of the
+    # dirty bucket leave via an ANTI join instead of entering the window
+    assert "LeftAnti" in plan
     # correctness: the updated row wins, everything else unchanged
     got = table.read().filter(F.col("doc_id") == one["doc_id"]).collect()[0]
     assert got["tokens"] == [1, 2, 3]
