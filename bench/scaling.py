@@ -267,6 +267,13 @@ metric-shopping):
   a real 4N cluster brings 4x disks with its nodes).
 * Both levels run the same code path, same input files, same bucket
   layout (32).
+* The log is SKEWED by construction (datagen defaults: 5 hot doc_ids
+  receive 30% of all events) — the efficiency above includes hot-key
+  handling. The LWW reduce survives skew because its aggregation
+  buffers are primitive counters (a hot key sends one row per map
+  task, map-side combined), not payload rows; the explicit two-phase
+  salted variant exists for pathological cases and is
+  equivalence-tested (tests/test_skew_and_maintenance.py).
 """
     out_path = os.path.join(REPO, "BENCH", "BASELINE.md")
     os.makedirs(os.path.dirname(out_path), exist_ok=True)
