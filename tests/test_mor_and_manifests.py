@@ -314,3 +314,25 @@ def test_mor_reconcile_windows_only_delta_buckets(spark, tmp_path):
     got = table.read().filter(F.col("doc_id") == one["doc_id"]).collect()[0]
     assert got["tokens"] == [1, 2, 3]
     assert table.read().count() == 400
+
+
+def test_mor_compact_bounded_buckets(spark, tmp_path):
+    """compact(buckets=[...]) folds only the requested buckets' deltas
+    — the incremental maintenance mode a 10^4-bucket table runs on the
+    deepest delta chains — leaving other buckets' deltas intact and the
+    table state unchanged."""
+    base = gen_base(spark, n_docs=400, seed=17)
+    log = gen_changelog(spark, n_docs=400, n_events=2000, seed=17, epoch_size=1000)
+    table = make_table(spark, tmp_path, base, merge_mode="mor")
+    Replayer(table).run(log)
+    expected = replay_oracle(base.toPandas(), log.toPandas())
+    resolved = table._resolve(table.snapshot())
+    dirty = sorted(int(b) for b, e in resolved.items() if e.get("deltas"))
+    assert len(dirty) >= 2
+    target = dirty[:1]
+    table.compact(buckets=target)
+    resolved = table._resolve(table.snapshot())
+    assert not resolved[str(target[0])].get("deltas")  # folded
+    still_dirty = [int(b) for b, e in resolved.items() if e.get("deltas")]
+    assert set(still_dirty) == set(dirty[1:])  # others untouched
+    assert_table_equal(table.read(), expected)

@@ -53,3 +53,32 @@ def test_row_level_guard_rejects_stale_replay(spark, tmp_path):
     r.apply_batch(log.filter(F.col("lsn") <= 400), epoch=902)  # overlapping older slice
     expected = replay_oracle(base.toPandas(), log.toPandas())
     assert_table_equal(table.read(), expected)
+
+
+def test_streaming_replay_into_mor_table(spark, tmp_path):
+    """The streaming sink path composes with merge-on-read: availableNow
+    micro-batches write per-bucket deltas, reads reconcile, and the
+    final state equals the oracle."""
+    base = gen_base(spark, n_docs=150, seed=33)
+    log = gen_changelog(
+        spark, n_docs=150, n_events=1500, seed=33, epoch_size=500, dup_epochs=()
+    )
+    log_path = str(tmp_path / "log")
+    log.write.partitionBy("epoch").parquet(log_path)
+    schema = spark.read.parquet(log_path).schema
+
+    table = SnapshotTable.create(
+        spark, str(tmp_path / "tbl"), TARGET_SCHEMA, base_df=base, merge_mode="mor"
+    )
+    res = run_availablenow(spark, log_path, table, str(tmp_path / "ckpt"), schema=schema)
+    assert res["events"] == 1500
+    # deltas really were written (merge-on-read took effect)
+    resolved = table._resolve(table.snapshot())
+    assert any(e.get("deltas") for e in resolved.values())
+    expected = replay_oracle(base.toPandas(), log.toPandas())
+    assert_table_equal(table.read(), expected)
+    # compact folds the stream's deltas; state unchanged
+    table.compact()
+    resolved = table._resolve(table.snapshot())
+    assert not any(e.get("deltas") for e in resolved.values())
+    assert_table_equal(table.read(), expected)
