@@ -69,6 +69,11 @@ def bench_replay(spark) -> dict:
                 n_events=N_EVENTS,
                 seed=42,
                 max_tok=64,
+                # skew knobs (datagen defaults: 5 hot keys, 30% of events)
+                # so the replay is measured under hot-key pressure; crank
+                # via env for the extreme-skew datapoint in BENCH/
+                hot_keys=int(os.environ.get("BENCH_HOT_KEYS", "5")),
+                hot_frac=float(os.environ.get("BENCH_HOT_FRAC", "0.30")),
                 epoch_size=N_EVENTS // EPOCHS,
                 dup_epochs=(),
                 partitions=gen_parts,
