@@ -336,3 +336,23 @@ def test_mor_compact_bounded_buckets(spark, tmp_path):
     still_dirty = [int(b) for b, e in resolved.items() if e.get("deltas")]
     assert set(still_dirty) == set(dirty[1:])  # others untouched
     assert_table_equal(table.read(), expected)
+
+
+def test_expire_snapshots_preserves_live_mor_deltas(spark, tmp_path):
+    """Snapshot expiry must keep every base/delta file the RETAINED
+    snapshots' manifests still reference — older s{N} dirs hold live
+    MoR files, so liveness is manifest-resolved, not dir-aged."""
+    base = gen_base(spark, n_docs=300, seed=29)
+    log = gen_changelog(spark, n_docs=300, n_events=3000, seed=29, epoch_size=500)
+    table = make_table(spark, tmp_path, base, merge_mode="mor")
+    Replayer(table).run(log)
+    expected = replay_oracle(base.toPandas(), log.toPandas())
+    res = table.expire_snapshots(keep_last=1)
+    assert res["removed_snapshots"] > 0
+    # current state survives: every referenced base+delta file is intact
+    resolved = table._resolve(table.snapshot())
+    assert any(e.get("deltas") for e in resolved.values())
+    for e in resolved.values():
+        for f in list(e.get("base", [])) + list(e.get("deltas", [])):
+            assert os.path.exists(f), f
+    assert_table_equal(table.read(), expected)
