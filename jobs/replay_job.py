@@ -30,6 +30,14 @@ def main() -> None:
     ap.add_argument("--n-buckets", type=int, default=64)
     ap.add_argument("--salt", type=int, default=0, help="explicit LWW salt buckets (0 = partial-agg only)")
     ap.add_argument("--batch-epochs", type=int, default=1)
+    ap.add_argument(
+        "--merge-mode", choices=("cow", "mor"), default="cow",
+        help="copy-on-write bucket rewrites or merge-on-read deltas (new tables only)",
+    )
+    ap.add_argument(
+        "--max-epochs", type=int, default=None,
+        help="bound this run to the K oldest pending epochs (source fetch cap)",
+    )
     ap.add_argument("--stream", action="store_true", help="use Structured Streaming availableNow")
     ap.add_argument("--generate", type=int, default=0, help="generate a synthetic log of N events first")
     ap.add_argument("--workdir", default="/tmp/replay_job")
@@ -58,11 +66,14 @@ def main() -> None:
         if not SnapshotTable.exists(table_path):
             SnapshotTable.create(
                 spark, table_path, TARGET_SCHEMA, n_buckets=args.n_buckets,
-                base_df=gen_base(spark, n_docs=n_docs),
+                base_df=gen_base(spark, n_docs=n_docs), merge_mode=args.merge_mode,
             )
 
     if not SnapshotTable.exists(table_path):
-        SnapshotTable.create(spark, table_path, TARGET_SCHEMA, n_buckets=args.n_buckets)
+        SnapshotTable.create(
+            spark, table_path, TARGET_SCHEMA, n_buckets=args.n_buckets,
+            merge_mode=args.merge_mode,
+        )
     table = SnapshotTable(spark, table_path)
 
     if args.stream:
@@ -75,7 +86,9 @@ def main() -> None:
         print(json.dumps({"mode": "stream", **res}))
     else:
         log = spark.read.parquet(log_path)
-        m = Replayer(table, salt_buckets=args.salt).run(log, batch_epochs=args.batch_epochs)
+        m = Replayer(table, salt_buckets=args.salt).run(
+            log, batch_epochs=args.batch_epochs, max_epochs=args.max_epochs
+        )
         print(
             json.dumps(
                 {
