@@ -82,3 +82,51 @@ def test_streaming_replay_into_mor_table(spark, tmp_path):
     resolved = table._resolve(table.snapshot())
     assert not any(e.get("deltas") for e in resolved.values())
     assert_table_equal(table.read(), expected)
+
+
+def test_streaming_lww_gate_drops_stale_events(spark, tmp_path):
+    """applyInPandasWithState online gate (reference J2 deduper,
+    deduper/hashmap.go): per key only strictly-increasing lsns pass,
+    across micro-batch boundaries, with state in the checkpoint."""
+    import pandas as pd
+
+    from etl_gmaps_spark.streaming.stateful import streaming_lww_gate
+
+    # two files read as separate micro-batches (maxFilesPerTrigger=1):
+    # file 2 replays stale lsns from file 1 plus some fresh ones
+    log_dir = tmp_path / "gate_log"
+    b1 = pd.DataFrame(
+        {"doc_id": ["a", "a", "b"], "lsn": [3, 1, 5], "payload": ["a3", "a1", "b5"]}
+    )
+    b2 = pd.DataFrame(
+        {"doc_id": ["a", "a", "b", "c"], "lsn": [2, 7, 5, 1],
+         "payload": ["stale", "a7", "dup", "c1"]}
+    )
+    log_dir.mkdir()
+    b1.to_parquet(log_dir / "batch-000.parquet")
+    b2.to_parquet(log_dir / "batch-001.parquet")
+
+    stream = (
+        spark.readStream.schema("doc_id string, lsn long, payload string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(log_dir))
+    )
+    q = (
+        streaming_lww_gate(stream)
+        .writeStream.format("memory")
+        .queryName("gated")
+        .option("checkpointLocation", str(tmp_path / "gate_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["doc_id"], r["lsn"]): r["payload"]
+        for r in spark.table("gated").collect()
+    }
+    # batch1: a/1 then a/3 pass (sorted within batch), b/5 passes
+    # batch2: a/2 stale (< 3), a/7 passes, b/5 duplicate, c/1 passes
+    assert got == {
+        ("a", 1): "a1", ("a", 3): "a3", ("b", 5): "b5",
+        ("a", 7): "a7", ("c", 1): "c1",
+    }
