@@ -130,3 +130,76 @@ def test_streaming_lww_gate_drops_stale_events(spark, tmp_path):
         ("a", 1): "a1", ("a", 3): "a3", ("b", 5): "b5",
         ("a", 7): "a7", ("c", 1): "c1",
     }
+
+def test_windowed_event_stats_with_watermark(spark, tmp_path):
+    """Watermarked windowed aggregation (reference A1/A3 live counters,
+    streaming-native). Three availableNow runs over one checkpoint —
+    the watermark persists and advances between runs: run 2 delivers a
+    late-but-tolerated event (admitted into its window) and a too-late
+    event (dropped); run 3 pushes the watermark past the open windows
+    and finalizes them. Append mode emits each window exactly once."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from etl_gmaps_spark.streaming.progress import windowed_event_stats
+
+    t0 = dt.datetime(2023, 11, 14, 12, 0, 0)
+
+    def ts(minute, second=0):
+        return t0 + dt.timedelta(minutes=minute, seconds=second)
+
+    log_dir = tmp_path / "wm_log"
+    log_dir.mkdir()
+    ckpt = str(tmp_path / "wm_ckpt")
+    out_dir = str(tmp_path / "wm_out")
+
+    def run(name):
+        # file sink: the one built-in sink that resumes from a
+        # checkpoint (memory sink cannot), so the watermark persists
+        # across the three runs; returns CUMULATIVE finalized windows
+        stream = (
+            spark.readStream.schema(
+                "doc_id string, lsn long, source string, ts timestamp"
+            ).parquet(str(log_dir))
+        )
+        q = (
+            windowed_event_stats(stream, window="1 minute", late_tolerance="2 minutes")
+            .writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return {
+            r["window_start"].minute: (r["events"], r["max_lsn"])
+            for r in spark.read.parquet(out_dir).collect()
+        }
+
+    # run 1: on-time events at minutes 0 and 10 -> watermark 10-2=8;
+    # the minute-0 window finalizes, minute-10 stays open
+    pd.DataFrame(
+        {"doc_id": ["a", "b", "c"], "lsn": [1, 2, 3], "source": ["web"] * 3,
+         "ts": [ts(0), ts(0, 30), ts(10)]}
+    ).to_parquet(log_dir / "b0.parquet", coerce_timestamps="us")
+    assert run("wm1") == {0: (2, 2)}
+
+    # run 2: minute-9 event is late but >= watermark 8 -> admitted
+    # (window [9,10) end 10 > 8: stays open); minute-1 event's window
+    # ended at 2 <= 8 -> dropped by the watermark
+    pd.DataFrame(
+        {"doc_id": ["d", "e"], "lsn": [4, 5], "source": ["web"] * 2,
+         "ts": [ts(9), ts(1)]}
+    ).to_parquet(log_dir / "b1.parquet", coerce_timestamps="us")
+    assert run("wm2") == {0: (2, 2)}  # nothing NEW finalizes
+
+    # run 3: minute-13 event advances the watermark to 11 -> the open
+    # minute-9 (with the tolerated late event) and minute-10 windows
+    # finalize; the too-late minute-1 event appears NOWHERE
+    pd.DataFrame(
+        {"doc_id": ["f"], "lsn": [6], "source": ["web"],
+         "ts": [ts(13)]}
+    ).to_parquet(log_dir / "b2.parquet", coerce_timestamps="us")
+    assert run("wm3") == {0: (2, 2), 9: (1, 4), 10: (1, 3)}
