@@ -62,21 +62,36 @@ def bench_replay(spark) -> dict:
         # SAME parquet files — and datagen at 64M events costs far more
         # than the replay being measured). Unset -> private workdir.
         log_path = os.environ.get("BENCH_LOG_DIR") or os.path.join(workdir, "log")
-        if not os.path.exists(os.path.join(log_path, "_SUCCESS")):
+        # generation parameters are part of the cache identity: a cached
+        # log generated with different skew/size would silently measure
+        # the wrong input (the _SUCCESS check alone can't see it)
+        gen_params = {
+            "n_docs": N_DOCS,
+            "n_events": N_EVENTS,
+            "seed": 42,
+            "max_tok": 64,
+            # skew knobs (datagen defaults: 5 hot keys, 30% of events)
+            # so the replay is measured under hot-key pressure; crank
+            # via env for the extreme-skew datapoint in BENCH/SKEW.md
+            "hot_keys": int(os.environ.get("BENCH_HOT_KEYS", "5")),
+            "hot_frac": float(os.environ.get("BENCH_HOT_FRAC", "0.30")),
+            "epoch_size": N_EVENTS // EPOCHS,
+        }
+        params_path = os.path.join(log_path, "_genparams.json")
+        if os.path.exists(os.path.join(log_path, "_SUCCESS")):
+            cached = json.load(open(params_path)) if os.path.exists(params_path) else None
+            if cached != gen_params:
+                raise SystemExit(
+                    f"cached log {log_path} was generated with {cached}, "
+                    f"this run wants {gen_params} — delete the dir or point "
+                    "BENCH_LOG_DIR elsewhere"
+                )
+        else:
             log = gen_changelog(
                 spark,
-                n_docs=N_DOCS,
-                n_events=N_EVENTS,
-                seed=42,
-                max_tok=64,
-                # skew knobs (datagen defaults: 5 hot keys, 30% of events)
-                # so the replay is measured under hot-key pressure; crank
-                # via env for the extreme-skew datapoint in BENCH/
-                hot_keys=int(os.environ.get("BENCH_HOT_KEYS", "5")),
-                hot_frac=float(os.environ.get("BENCH_HOT_FRAC", "0.30")),
-                epoch_size=N_EVENTS // EPOCHS,
-                dup_epochs=(),
                 partitions=gen_parts,
+                dup_epochs=(),
+                **gen_params,
             )
             # scale layout: the change log is dir-partitioned by epoch, so
             # each micro-batch scan prunes to its own slice instead of
@@ -86,6 +101,8 @@ def bench_replay(spark) -> dict:
             log.write.mode("overwrite").option(
                 "parquet.block.size", 32 * 1024 * 1024
             ).partitionBy("epoch").parquet(log_path)
+            with open(params_path, "w") as fh:
+                json.dump(gen_params, fh)
         log = spark.read.parquet(log_path)
 
         # repeat and keep the best run: the sandbox host has noisy

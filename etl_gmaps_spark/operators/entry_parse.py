@@ -271,6 +271,8 @@ def _popular_times(darray: list) -> dict | None:
         if not isinstance(it, list):
             return None
         day = _i(get_nth(it, 0))
+        if day is None or not 1 <= day <= 7:
+            return None  # malformed/out-of-range day nils the map
         times_i = get_nth(it, 1)
         times = {}
         for t in times_i if isinstance(times_i, list) else []:
@@ -280,7 +282,7 @@ def _popular_times(darray: list) -> dict | None:
             if h is None or v is None:
                 return None
             times[h] = v
-        out[_DAY_NAMES.get(day, str(day))] = times
+        out[_DAY_NAMES[day]] = times
     return out
 
 
@@ -374,7 +376,6 @@ def entry_from_json(raw: str) -> dict:
     if not order_online_arr:
         order_online_arr = get_nth(darray, 75, 0, 0, 2)  # fallback layout
 
-    reviews_i = get_nth(darray, 175, 9, 0, 0)
     return {
         "link": _s(get_nth(darray, 27)),
         "title": title,
@@ -425,7 +426,7 @@ def entry_from_json(raw: str) -> dict:
         # EntryFromJSON deliberately leaves UserReviews EMPTY (entry.go:
         # 422 allocates capacity len(reviewsI) but parses nothing); the
         # extra-reviews pages go through extract_reviews/parse_reviews
-        "user_reviews": [] if reviews_i is not None else [],
+        "user_reviews": [],
     }
 
 

@@ -1155,7 +1155,10 @@ def _engine_table(spark: SparkSession, n_docs: int, n_events: int, seed: int, n_
     from etl_gmaps_spark.streaming.replay import Replayer
     from etl_gmaps_spark.tableio import SnapshotTable
 
-    key = (id(spark.sparkContext), n_docs, n_events, seed, n_buckets)
+    # identity that can't be recycled by a new context at the same
+    # address (id() can collide after GC): applicationId + startTime
+    sc = spark.sparkContext
+    key = (sc.applicationId, sc.startTime, n_docs, n_events, seed, n_buckets)
     table = _ENGINE_CACHE.get(key)
     if table is not None:
         return table

@@ -21,6 +21,8 @@ def windowed_event_stats(
     late_tolerance: str = "2 minutes",
     ts_col: str = "ts",
     source_col: str = "source",
+    key_col: str = "doc_id",
+    lsn_col: str = "lsn",
 ) -> DataFrame:
     """Per event-time window and source: event count, distinct-key
     estimate, and max lsn. On a streaming DataFrame the watermark bounds
@@ -34,8 +36,8 @@ def windowed_event_stats(
         .groupBy(F.window(ts_col, window).alias("win"), F.col(source_col))
         .agg(
             F.count(F.lit(1)).alias("events"),
-            F.approx_count_distinct("doc_id").alias("approx_keys"),
-            F.max("lsn").alias("max_lsn"),
+            F.approx_count_distinct(key_col).alias("approx_keys"),
+            F.max(lsn_col).alias("max_lsn"),
         )
         .select(
             F.col("win.start").alias("window_start"),

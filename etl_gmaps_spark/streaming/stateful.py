@@ -41,12 +41,19 @@ def streaming_lww_gate(
         key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         max_seen = state.get[0] if state.exists else -1
-        for pdf in pdfs:
-            pdf = pdf.sort_values(lsn_col)
-            fresh = pdf[pdf[lsn_col] > max_seen]
-            if len(fresh):
-                max_seen = int(fresh[lsn_col].max())
-                yield fresh[col_order]
+        chunks = list(pdfs)
+        if not chunks:  # defensive: NoTimeout means data should exist
+            state.update((max_seen,))
+            return
+        # concat the key's whole micro-batch before sorting: ratcheting
+        # max_seen per Arrow chunk would make admission depend on the
+        # (nondeterministic) chunk boundaries — a high lsn in an early
+        # chunk would drop lower-but-unseen lsns in later chunks
+        whole = pd.concat(chunks, ignore_index=True).sort_values(lsn_col)
+        fresh = whole[whole[lsn_col] > max_seen]
+        if len(fresh):
+            max_seen = int(fresh[lsn_col].max())
+            yield fresh[col_order]
         state.update((max_seen,))
 
     return events.groupBy(key_col).applyInPandasWithState(

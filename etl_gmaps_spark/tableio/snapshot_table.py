@@ -341,6 +341,21 @@ class SnapshotTable:
     def _resolve(self, snap: dict[str, Any]) -> dict[str, dict]:
         """bucket -> {"base": [...], "deltas": [...]}; newest manifest
         entry for a bucket wins (each entry is self-contained)."""
+        if "manifests" not in snap:
+            # pre-manifest layout: v{N}.json carried the full bucket ->
+            # files map inline. Migrate on read (base only, no deltas —
+            # MoR postdates manifests) instead of silently resolving an
+            # old table as EMPTY, which would let the next merge commit
+            # a snapshot that drops every pre-existing row.
+            if "files" in snap:
+                return {
+                    b: {"base": list(fl), "deltas": []}
+                    for b, fl in snap["files"].items()
+                }
+            raise ValueError(
+                f"snapshot v{snap.get('version')} has neither 'manifests' "
+                "nor legacy 'files' — refusing to resolve it as empty"
+            )
         out: dict[str, dict] = {}
         for path in snap.get("manifests", []):
             out.update(self._load_manifest(path))
@@ -814,7 +829,15 @@ class SnapshotTable:
             )
         except Exception as exc:
             if not isinstance(exc, CommitConflict):
-                self.record_failure(epochs, repr(exc), attempted_version=snap["version"] + 1)
+                # best-effort: the sidecar write hits the same filesystem
+                # that may have just failed (disk full) — lineage loss
+                # must never mask the original apply error
+                try:
+                    self.record_failure(
+                        epochs, repr(exc), attempted_version=snap["version"] + 1
+                    )
+                except OSError:
+                    pass
             raise
 
     def _merge_inner(
@@ -875,7 +898,28 @@ class SnapshotTable:
             sb = _align(src, schema).repartition(n_buckets, F.col(key_col))
             if dedupe_source:
                 sb = sb.dropDuplicates([key_col])
+            # NULL lsn VALUES must fail loudly too (the column check
+            # above only catches a missing column): CoW's guard treats a
+            # null source lsn as "unordered upsert, always wins", which
+            # no single reconcile-window ordering can replicate across
+            # commits — so MoR refuses rather than silently diverging.
+            # The count rides the delta write via observe(): zero extra
+            # jobs; on violation the commit aborts before the manifest/
+            # snapshot write, leaving only unreferenced files.
+            from pyspark.sql import Observation
+
+            _null_obs = Observation()
+            sb = sb.observe(
+                _null_obs, F.sum(F.col(LSN_COL).isNull().cast("long")).alias("nulls")
+            )
             new_files = self._write_buckets(sb, v, key_col, n_buckets, aligned=True)
+            if (_null_obs.get["nulls"] or 0) > 0:
+                raise ValueError(
+                    "merge_mode='mor' requires non-null lsn values: "
+                    f"{_null_obs.get['nulls']} source rows have lsn NULL "
+                    "(null lsn means 'unordered upsert' under CoW, which "
+                    "merge-on-read reconciliation cannot order)"
+                )
             if touched_buckets is not None:
                 touched = [int(b) for b in touched_buckets]
             else:

@@ -356,3 +356,34 @@ def test_expire_snapshots_preserves_live_mor_deltas(spark, tmp_path):
         for f in list(e.get("base", [])) + list(e.get("deltas", [])):
             assert os.path.exists(f), f
     assert_table_equal(table.read(), expected)
+
+
+def test_mor_rejects_null_lsn_values(spark, tmp_path):
+    """A present-but-NULL lsn must fail as loudly as a missing column:
+    CoW treats null source lsn as 'always wins', which no reconcile
+    ordering can replicate — MoR refuses instead of diverging."""
+    table = make_table(spark, tmp_path, merge_mode="mor")
+    src = spark.createDataFrame(
+        [("doc-1", [1], 1, "web", None, "U")],
+        "doc_id string, tokens array<int>, n_tok int, source string, lsn long, op string",
+    )
+    with pytest.raises(ValueError, match="non-null lsn"):
+        table.merge(src, epoch=1)
+
+
+def test_resolve_migrates_legacy_files_layout(spark, tmp_path):
+    """A snapshot written by pre-manifest code (inline 'files' map, no
+    'manifests' key) must resolve to its real files — not silently as
+    an empty table, which would let the next merge drop every row."""
+    base = gen_base(spark, n_docs=50, seed=41)
+    table = make_table(spark, tmp_path, base)
+    snap = dict(table.snapshot())
+    legacy_files = {b: list(fl) for b, fl in table.files_map().items()}
+    snap.pop("manifests")
+    snap["files"] = legacy_files
+    entries = table._resolve(snap)
+    assert entries == {b: {"base": fl, "deltas": []} for b, fl in legacy_files.items()}
+    # and a snapshot with neither layout fails loudly
+    snap.pop("files")
+    with pytest.raises(ValueError, match="refusing"):
+        table._resolve(snap)
