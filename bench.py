@@ -39,6 +39,10 @@ EPOCHS = int(os.environ.get("BENCH_EPOCHS", "2"))
 # producer epoch granularity
 BATCH_EPOCHS = int(os.environ.get("BENCH_BATCH_EPOCHS", "1"))
 N_BUCKETS = 32  # constant across parallelism levels: same table layout
+# BENCH_MERGE_MODE=mor runs the HEADLINE timed replay in merge-on-read
+# mode (VERDICT r3 #3: publish the N->4N scaling pair in MoR too, since
+# MoR is the at-scale default). cow (default) keeps r1-r3 comparability.
+MERGE_MODE = os.environ.get("BENCH_MERGE_MODE", "cow")
 
 
 def bench_replay(spark) -> dict:
@@ -125,9 +129,14 @@ def bench_replay(spark) -> dict:
                 TARGET_SCHEMA,
                 n_buckets=N_BUCKETS,
                 base_df=base,
+                merge_mode=MERGE_MODE,
             )
+            # auto_compact off in MoR mode: at bench shape every batch
+            # upserts ~all keys (batch ≈ table), so the delta/base
+            # threshold trips after every commit and the replay would
+            # measure CoW twice over; see the mor-leg comment below
             t0 = monotonic()
-            m = Replayer(table).run(log, batch_epochs=BATCH_EPOCHS)
+            m = Replayer(table, auto_compact=False).run(log, batch_epochs=BATCH_EPOCHS)
             elapsed = monotonic() - t0
             if best is None or elapsed < best["replay_sec"]:
                 # CoW write amplification: parquet bytes physically
@@ -139,6 +148,7 @@ def bench_replay(spark) -> dict:
                     props.get("commits_rollup") or {}
                 ).get("bytes_rewritten", 0)
                 best = {
+                    "merge_mode": MERGE_MODE,
                     "replay_sec": round(elapsed, 3),
                     "events": m.events_processed,
                     "events_per_sec": round(m.events_processed / elapsed, 1),
@@ -172,8 +182,14 @@ def bench_replay(spark) -> dict:
                 base_df=base,
                 merge_mode="mor",
             )
+            # auto_compact off: at bench scale every batch upserts ~all
+            # keys (batch ≈ table), so the delta/base threshold would
+            # trip after EVERY commit and the leg would measure CoW
+            # twice over. The at-scale regime the policy serves is
+            # batch ≪ table (no trip); compaction cost is measured on
+            # its own in BENCH/MOR.md.
             t0 = monotonic()
-            mm = Replayer(mor_tbl).run(log, batch_epochs=BATCH_EPOCHS)
+            mm = Replayer(mor_tbl, auto_compact=False).run(log, batch_epochs=BATCH_EPOCHS)
             mor_elapsed = monotonic() - t0
             mprops = mor_tbl.snapshot()["properties"]
             mor_rewritten = sum(
@@ -212,7 +228,13 @@ def main() -> None:
     replay = bench_replay(spark)
     queries = {} if os.environ.get("BENCH_SKIP_QUERIES") == "1" else bench_queries(spark)
     total = replay["replay_sec"] + sum(queries.values())
-    result = {
+    # The driver tail-captures stdout and json-parses the LAST line; in
+    # round 3 the 58-entry per-query dict grew the line past the capture
+    # window and the headline went machine-invisible ("parsed": null).
+    # Full detail (per-query seconds, replay profile, MoR leg) goes to a
+    # side file; the driver line stays ≤ ~1 KB and is printed as the
+    # very last stdout bytes, after spark.stop().
+    detail = {
         "metric": "cdc_replay_plus_catalog_sec",
         "value": round(total, 3),
         "unit": "sec",
@@ -221,8 +243,32 @@ def main() -> None:
         "cpus": TOTAL_CORES,
         "replay": replay,
     }
-    print(json.dumps(result))
+    side = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH", "queries_latest.json")
+    os.makedirs(os.path.dirname(side), exist_ok=True)
+    with open(side, "w") as fh:
+        json.dump(detail, fh, indent=1)
+    compact_replay = {
+        k: replay[k]
+        for k in ("merge_mode", "replay_sec", "events", "events_per_sec", "write_amplification", "final_rows")
+        if k in replay
+    }
+    if "mor" in replay:
+        compact_replay["mor_events_per_sec"] = replay["mor"].get("events_per_sec")
+        compact_replay["mor_write_amplification"] = replay["mor"].get("write_amplification")
+    result = {
+        "metric": "cdc_replay_plus_catalog_sec",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": {},
+        "queries_sec_total": round(sum(queries.values()), 2),
+        "queries_file": "BENCH/queries_latest.json",
+        "sf": detail["sf"],
+        "cpus": TOTAL_CORES,
+        "replay": compact_replay,
+    }
     spark.stop()
+    sys.stdout.flush()
+    print(json.dumps(result), flush=True)
 
 
 if __name__ == "__main__":

@@ -155,6 +155,7 @@ def main() -> None:
     # protocol survive session restarts and still produce the same
     # report from the same raw numbers.
     ledger = os.environ.get("RUNS_LEDGER")
+    mode = os.environ.get("BENCH_MERGE_MODE", "cow")
     by_exec: dict[int, list[dict]] = {}
     if ledger:
         with open(ledger) as fh:
@@ -163,6 +164,9 @@ def main() -> None:
                     continue
                 row = json.loads(line)
                 if row.get("n_events") != n_events:
+                    continue
+                # CoW and MoR launches share a ledger; report one mode
+                if row.get("merge_mode", "cow") != mode:
                     continue
                 by_exec.setdefault(int(row["n_execs"]), []).append(row)
         runs = {n: by_exec.get(n, []), four_n: by_exec.get(four_n, [])}
@@ -277,8 +281,40 @@ metric-shopping):
 """
     out_path = os.path.join(REPO, "BENCH", "BASELINE.md")
     os.makedirs(os.path.dirname(out_path), exist_ok=True)
-    with open(out_path, "w") as fh:
-        fh.write(md)
+    if mode == "cow":
+        with open(out_path, "w") as fh:
+            fh.write(md)
+    else:
+        # VERDICT r3 #3: the merge-on-read pair publishes INTO the same
+        # report (MoR is the at-scale default; its scaling claim should
+        # sit next to CoW's). A mor-mode run appends its section after
+        # the CoW body, replacing any earlier mor section.
+        marker = f"\n<!-- scaling:{mode} -->\n"
+        section = (
+            marker
+            + f"""# Merge-on-read ({mode}) scaling pair — same protocol, same log
+
+Identical launches with `BENCH_MERGE_MODE={mode}`: the timed replay
+writes per-bucket DELTA files per commit (never reads the target);
+auto-compaction is off for the measurement because at this toy shape
+every batch touches ~all keys (batch ≈ table), which would trip the
+delta/base threshold after every commit — the at-scale regime the
+policy serves is batch ≪ table. Raw runs: {raw}.
+
+| level | role | replay sec | events/sec | final rows |
+|---|---|---|---|---|
+| {n} executor(s) x {CORES_PER_EXEC} cores | N | {best[n]['replay_sec']} | {tput_n:,.0f} | {best[n]['final_rows']:,} |
+| {four_n} executors x {CORES_PER_EXEC} cores | 4N | {best[four_n]['replay_sec']} | {tput_4n:,.0f} | {best[four_n]['final_rows']:,} |
+
+**MoR scaling efficiency = ({tput_4n:,.0f} / {tput_n:,.0f}) / 4 = {eff:.3f}**
+(target >= 0.8) — {"PASS" if eff >= 0.8 else "FAIL"}.
+{_amdahl_md(best, n, four_n)}"""
+        )
+        body = open(out_path).read() if os.path.exists(out_path) else ""
+        if marker in body:
+            body = body.split(marker)[0]
+        with open(out_path, "w") as fh:
+            fh.write(body + section)
     print(f"wrote {out_path}")
 
 

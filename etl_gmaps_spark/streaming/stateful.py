@@ -23,8 +23,40 @@ from collections.abc import Iterator
 from typing import Any
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+# State-store recipe for running the gate at scale (VERDICT r3 #8): the
+# default HDFS-backed provider keeps every key's state on the JVM heap
+# and writes FULL state snapshots into the streaming checkpoint each
+# commit — at 10^9 keys that is GBs of heap and GBs per checkpoint. The
+# RocksDB provider (in-tree since Spark 3.2) spills state to local SSD
+# with bounded block-cache memory, and changelog checkpointing uploads
+# only the per-batch delta, turning checkpoint cost O(state) → O(batch).
+ROCKSDB_STATE_CONF = {
+    "spark.sql.streaming.stateStore.providerClass": (
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    ),
+    "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled": "true",
+}
+
+
+def enable_rocksdb_state(spark: SparkSession) -> bool:
+    """Point stateful queries at the RocksDB state store; returns False
+    (leaving the session untouched) when the provider class is absent
+    from the classpath, so callers can skip rather than fail. The conf
+    is read at QUERY START, so flipping it between availableNow runs
+    over one checkpoint is well-defined (the checkpoint records which
+    provider wrote it)."""
+    try:
+        spark._jvm.java.lang.Class.forName(  # type: ignore[union-attr]
+            ROCKSDB_STATE_CONF["spark.sql.streaming.stateStore.providerClass"]
+        )
+    except Exception:
+        return False
+    for k, v in ROCKSDB_STATE_CONF.items():
+        spark.conf.set(k, v)
+    return True
 
 
 def streaming_lww_gate(
@@ -49,7 +81,17 @@ def streaming_lww_gate(
         # max_seen per Arrow chunk would make admission depend on the
         # (nondeterministic) chunk boundaries — a high lsn in an early
         # chunk would drop lower-but-unseen lsns in later chunks
-        whole = pd.concat(chunks, ignore_index=True).sort_values(lsn_col)
+        # drop intra-batch duplicates too: two byte-identical replayed
+        # rows with the same lsn can land in ONE micro-batch, where the
+        # state ratchet alone can't separate them — without this the
+        # emitted stream would violate the strictly-increasing-lsn
+        # contract (the sink's _lsn guard would mask it, but the whole
+        # point of the gate is that duplicates die here)
+        whole = (
+            pd.concat(chunks, ignore_index=True)
+            .sort_values(lsn_col)
+            .drop_duplicates(subset=[lsn_col], keep="first")
+        )
         fresh = whole[whole[lsn_col] > max_seen]
         if len(fresh):
             max_seen = int(fresh[lsn_col].max())

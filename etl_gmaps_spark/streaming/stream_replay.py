@@ -39,12 +39,17 @@ def run_availablenow(
     checkpoint_dir: str,
     schema=None,
     max_files_per_trigger: int = 8,
+    auto_compact: bool = True,
 ) -> dict:
     """Replay everything currently in the log directory as a stream and
     stop (trigger availableNow) — the streaming analog of the
     reference's -exit-on-inactivity bounded run (runner/runner.go:106).
+
+    ``auto_compact`` passes through to Replayer: on MoR tables each
+    micro-batch commit is followed by threshold-triggered compaction of
+    the worst delta chains (see SnapshotTable.maintain).
     """
-    replayer = Replayer(table)
+    replayer = Replayer(table, auto_compact=auto_compact)
     applied: list[dict] = []
 
     def apply_micro_batch(batch_df: DataFrame, batch_id: int) -> None:

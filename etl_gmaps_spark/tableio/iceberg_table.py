@@ -19,8 +19,14 @@ from etl_gmaps_spark.tableio.snapshot_table import CommitResult
 
 
 def iceberg_available(spark: SparkSession) -> bool:
+    # Class.forName, NOT attribute access: py4j resolves a missing class
+    # path to a silent JavaPackage object instead of raising, so
+    # `_jvm.org.apache.iceberg.Snapshot` reported the jar present on
+    # every classpath (latent until round 4's gated e2e test ran it)
     try:
-        spark._jvm.org.apache.iceberg.Snapshot  # type: ignore[union-attr]
+        spark._jvm.java.lang.Class.forName(  # type: ignore[union-attr]
+            "org.apache.iceberg.Snapshot"
+        )
         return True
     except Exception:
         return False
@@ -108,7 +114,12 @@ class IcebergTable:
         ).collect()
         out: set[int] = set()
         for r in rows:
-            e = (r.summary or {}).get("cdc.epoch")
+            summ = r.summary or {}
+            # merge() stamps the epoch via spark.wap.id, which Iceberg
+            # records in the snapshot summary as "wap.id" (the public
+            # write-audit-publish mechanism); "cdc.epoch" is accepted
+            # too for writers using the Java CommitMetadata API
+            e = summ.get("cdc.epoch", summ.get("wap.id"))
             if e is not None:
                 out.add(int(e))
         return out
@@ -129,7 +140,7 @@ class IcebergTable:
         out: list[dict] = []
         for r in rows:
             summ = r.summary or {}
-            e = summ.get("cdc.epoch")
+            e = summ.get("cdc.epoch", summ.get("wap.id"))
             c = {
                 "snapshot": r.snapshot_id,
                 "status": "ok",
@@ -163,7 +174,13 @@ class IcebergTable:
                 self.spark.sql(add_column_sql(self.identifier, f.name, f.dataType))
         winners.createOrReplaceTempView("_cdc_source")
         key = [f.name for f in winners.schema.fields][0]  # convention: key first
-        self.spark.sql(merge_sql(self.identifier, key, payload, op_col))
+        try:
+            self.spark.sql(merge_sql(self.identifier, key, payload, op_col))
+        finally:
+            if epoch is not None:
+                # a lingering wap.id would stamp UNRELATED later commits
+                # with this epoch, silently ledger-skipping them
+                self.spark.conf.unset("spark.wap.id")
         snap = self.spark.sql(
             f"SELECT snapshot_id FROM {self.identifier}.snapshots ORDER BY committed_at DESC LIMIT 1"
         ).collect()[0][0]

@@ -22,7 +22,10 @@ Layout:
                                    machine still records `failed`,
                                    web/job.go:11-16)
     <root>/meta/ckpt-{N}.parquet   per-partition checkpoint at snapshot N
-    <root>/data/s{N}/_bucket={b}/  data files written by snapshot N
+    <root>/data/s{N}-{nonce}/_bucket={b}/  data files written by snapshot
+                                   N; the per-attempt nonce isolates
+                                   racing writers (a loser's overwrite
+                                   can't clobber the winner's files)
 
 Scale design:
   * rows are hash-bucketed on the merge key: ``pmod(murmur3(key), B)``
@@ -298,7 +301,9 @@ class SnapshotTable:
             raise BucketHashMismatch(
                 f"table at {self.root} was bucketed with {stored!r}; this engine "
                 f"computes {BUCKET_HASH!r} — reads/merges would silently miss "
-                "keys' real files. Rewrite the table (overwrite/compact) first."
+                "keys' real files. Rewrite the table with overwrite() first "
+                "(compact() cannot remediate: it refuses mismatched tables "
+                "for the same reason)."
             )
 
     def _commit_snapshot(self, snap: dict[str, Any]) -> None:
@@ -481,7 +486,14 @@ class SnapshotTable:
         from pyspark.sql import Window as W
 
         key_col = snap["key_col"]
-        seq = F.regexp_extract(F.input_file_name(), r"/s(\d+)/", 1).cast("long")
+        # Anchored to the table layout (…/s{N}[-nonce]/_bucket=…): an
+        # unanchored /s(\d+)/ took the FIRST match anywhere in the
+        # absolute path, so a root containing /s3/ or /s2024/ yielded a
+        # wrong constant sequence for every file. Legacy dirs (no nonce)
+        # still match via the optional group.
+        seq = F.regexp_extract(
+            F.input_file_name(), r"/s(\d+)(?:-[0-9a-f]{8})?/_bucket=", 1
+        ).cast("long")
         delta_bytes = sum(
             os.path.getsize(f) for f in deltas if os.path.exists(f)
         )
@@ -564,7 +576,14 @@ class SnapshotTable:
         ``repartition(col(_bucket))`` hashed bucket ids into the
         default partition count: some tasks got two buckets, some
         none — straggler skew for free)."""
-        out = os.path.join(self.data_dir, f"s{version}")
+        # Per-ATTEMPT nonce in the snapshot dir: two racing writers both
+        # targeting version v land in distinct dirs, so the loser's
+        # mode("overwrite") can never delete files the winner already
+        # committed — the O_EXCL snapshot gate then orphans only the
+        # loser's own (unreferenced) files. Bucket partition keys
+        # (_bucket={b}) stay deterministic; manifests record full paths,
+        # so readers never reconstruct this dir name.
+        out = os.path.join(self.data_dir, f"s{version}-{uuid.uuid4().hex[:8]}")
         withb = df.withColumn(BUCKET_COL, bucket_expr(key_col, n_buckets))
         if not aligned:
             withb = withb.repartition(n_buckets, F.col(key_col))
@@ -620,7 +639,16 @@ class SnapshotTable:
         """Append one manifest for the touched buckets; consolidate the
         list when it exceeds MANIFEST_COMPACT_AT (Iceberg
         rewrite_manifests analog) so resolution stays O(1) files."""
-        manifests = list(snap.get("manifests", []))
+        if "manifests" not in snap:
+            # legacy inline-'files' snapshot: _resolve() migrates it for
+            # READS, but seeding the manifest list empty here would make
+            # this commit's snapshot reference ONLY the touched buckets —
+            # silently dropping every untouched bucket. Materialize the
+            # migrated map as a manifest first so the parent's full state
+            # survives the first post-upgrade merge/compact.
+            manifests = [self._write_manifest(version, self._resolve(snap))]
+        else:
+            manifests = list(snap.get("manifests", []))
         if touched_entries:
             manifests.append(self._write_manifest(version, touched_entries))
         if len(manifests) > MANIFEST_COMPACT_AT:
@@ -644,7 +672,13 @@ class SnapshotTable:
             parent=snap["version"],
             manifests=[self._write_manifest(v, entries)],
             schema=json.loads(df.schema.json()),
+            # overwrite rewrites EVERY bucket under the current hash, so
+            # it is THE remediation for BucketHashMismatch — stamp the
+            # current id instead of carrying a stale one forward (which
+            # would leave merges failing even after a full rewrite)
+            bucket_hash=BUCKET_HASH,
         )
+        new.pop("files", None)  # legacy inline map, superseded by manifests
         if properties_update:
             props = dict(snap["properties"])
             props.update(properties_update)
@@ -695,8 +729,52 @@ class SnapshotTable:
             manifests=self._next_manifests(snap, v, entries),
             properties=props,
         )
+        new.pop("files", None)  # legacy inline map, superseded by manifests
         self._commit_snapshot(new)
         return CommitResult(v, v, rows_written, len(todo), None, bytes_rewritten)
+
+    def maintenance_plan(
+        self, max_chain: int = 8, max_delta_ratio: float = 0.5
+    ) -> list[int]:
+        """Buckets whose MoR delta chain warrants compaction: chain depth
+        ≥ ``max_chain`` files, OR delta bytes ≥ ``max_delta_ratio`` ×
+        base bytes. Driver-side metadata only (manifest walk + file
+        stat), O(buckets × chain) stat calls, no Spark job — cheap
+        enough to evaluate after every commit. At 10^5 buckets this is
+        the same order of work as writing the commit's manifest."""
+        snap = self.snapshot()
+        todo: list[int] = []
+        for b, e in self._resolve(snap).items():
+            deltas = e.get("deltas", [])
+            if not deltas:
+                continue
+            if len(deltas) >= max_chain:
+                todo.append(int(b))
+                continue
+            dbytes = sum(os.path.getsize(f) for f in deltas if os.path.exists(f))
+            bbytes = sum(
+                os.path.getsize(f) for f in e.get("base", []) if os.path.exists(f)
+            )
+            if dbytes >= max_delta_ratio * max(1, bbytes):
+                todo.append(int(b))
+        return sorted(todo)
+
+    def maintain(
+        self, max_chain: int = 8, max_delta_ratio: float = 0.5
+    ) -> CommitResult | None:
+        """Threshold-triggered incremental compaction (VERDICT r3 #4):
+        compact ONLY the buckets whose delta chains crossed the policy —
+        the automatic counterpart of Iceberg's scheduled
+        rewrite_data_files. Without this, a replay of thousands of small
+        MoR epochs degrades reads ~12× (BENCH/MOR.md) until someone
+        remembers to call compact() by hand. Called by Replayer after
+        each commit on MoR tables (auto_compact=True, the default);
+        standalone jobs can call it on their own cadence. Returns None
+        when no bucket crossed the threshold."""
+        todo = self.maintenance_plan(max_chain, max_delta_ratio)
+        if not todo:
+            return None
+        return self.compact(buckets=todo)
 
     def expire_snapshots(self, keep_last: int = 2) -> dict:
         """Storage hygiene (Iceberg expire_snapshots analog): delete

@@ -39,6 +39,10 @@ def main() -> None:
         help="bound this run to the K oldest pending epochs (source fetch cap)",
     )
     ap.add_argument("--stream", action="store_true", help="use Structured Streaming availableNow")
+    ap.add_argument(
+        "--no-auto-compact", action="store_true",
+        help="disable the MoR threshold-compaction policy after each commit",
+    )
     ap.add_argument("--generate", type=int, default=0, help="generate a synthetic log of N events first")
     ap.add_argument("--workdir", default="/tmp/replay_job")
     ap.add_argument("--cpus", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
@@ -81,12 +85,15 @@ def main() -> None:
 
         schema = spark.read.parquet(log_path).schema
         res = run_availablenow(
-            spark, log_path, table, os.path.join(args.workdir, "stream_ckpt"), schema=schema
+            spark, log_path, table, os.path.join(args.workdir, "stream_ckpt"),
+            schema=schema, auto_compact=not args.no_auto_compact,
         )
         print(json.dumps({"mode": "stream", **res}))
     else:
         log = spark.read.parquet(log_path)
-        m = Replayer(table, salt_buckets=args.salt).run(
+        m = Replayer(
+            table, salt_buckets=args.salt, auto_compact=not args.no_auto_compact
+        ).run(
             log, batch_epochs=args.batch_epochs, max_epochs=args.max_epochs
         )
         print(

@@ -205,3 +205,80 @@ def test_assign_cells_pandas_matches_expr(spark, sf_001_embeddings):
     # BLAS pairwise summation vs codegen fold may flip exact float
     # ties; synthetic embeddings have none, so assignments agree
     assert by_expr == by_np
+
+
+def test_trained_centroids_beat_fixed_random_on_planted_recall(spark):
+    """VERDICT r3 #5: seeded DataFrame-native k-means. On data planted
+    around 8 true clusters, trained centroids must beat the previous
+    status quo (k arbitrary corpus points as fixed centroids) on
+    nearest-non-self-neighbor recall at the same n_probe, and training
+    must be deterministic under its seed."""
+    import numpy as np
+
+    from etl_gmaps_spark.operators.similarity import train_centroids
+
+    rng = np.random.RandomState(7)
+    n_clusters, per, dim = 8, 50, 16
+    true_centers = rng.normal(0.0, 10.0, (n_clusters, dim))
+    rows = []
+    vid = 0
+    for ci in range(n_clusters):
+        for p in true_centers[ci] + rng.normal(0.0, 0.5, (per, dim)):
+            rows.append((vid, [float(x) for x in p]))
+            vid += 1
+    vectors = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = vectors.filter(F.col("vec_id") % 10 == 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    # ground truth: nearest NON-SELF neighbor (self is trivially found —
+    # query and its own row assign/probe to the same cell by identity)
+    truth = {
+        r["query_id"]: r["vec_id"]
+        for r in brute_force_topk(vectors, queries, k=2).collect()
+        if r["rank"] == 2
+    }
+
+    def recall(centroids):
+        got = {
+            r["query_id"]: r["vec_id"]
+            for r in ivf_topk(vectors, queries, centroids, k=2, n_probe=1).collect()
+            if r["rank"] == 2
+        }
+        return sum(1 for q, t in truth.items() if got.get(q) == t) / len(truth)
+
+    trained = train_centroids(vectors, k=n_clusters, n_iter=4, seed=11)
+    fixed_random = [
+        (i, r["embedding"])
+        for i, r in enumerate(
+            vectors.orderBy(
+                F.pmod(F.hash("vec_id", F.lit(99)), F.lit(2**31 - 1))
+            ).limit(n_clusters).collect()
+        )
+    ]
+    r_trained, r_fixed = recall(trained), recall(fixed_random)
+    assert r_trained >= 0.85, (r_trained, r_fixed)
+    assert r_trained > r_fixed, (r_trained, r_fixed)
+    # determinism: same seed → identical centroids
+    again = train_centroids(vectors, k=n_clusters, n_iter=4, seed=11)
+    assert trained == again
+
+
+def test_ivf_end_to_end_from_raw_vectors(spark, sf_001_embeddings):
+    """ann_ivf end-to-end with NO externally supplied centroids: train
+    the coarse quantizer from the raw corpus, then search it."""
+    from etl_gmaps_spark.operators.similarity import train_centroids
+
+    vectors = sf_001_embeddings.select("vec_id", "embedding")
+    queries = vectors.filter(F.col("vec_id") % 101 == 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    centroids = train_centroids(vectors, k=8, n_iter=2, seed=5)
+    assert len(centroids) == 8
+    exact = {r["query_id"]: r["vec_id"] for r in brute_force_topk(vectors, queries, k=1).collect()}
+    approx = {
+        r["query_id"]: r["vec_id"]
+        for r in ivf_topk(vectors, queries, centroids, k=1, n_probe=3).collect()
+    }
+    # self-vector lives in its own probed cell -> top-1 recall 1.0
+    hits = sum(1 for q, t in exact.items() if approx.get(q) == t)
+    assert hits / len(exact) == 1.0

@@ -81,7 +81,9 @@ def test_mor_compact_folds_deltas(spark, tmp_path):
     base = gen_base(spark, n_docs=200, seed=3)
     log = gen_changelog(spark, n_docs=200, n_events=2000, seed=3, epoch_size=500)
     table = make_table(spark, tmp_path, base, merge_mode="mor")
-    Replayer(table).run(log)
+    # auto_compact off: this test exercises MANUAL compact() on intact
+    # delta chains (the policy would fold them mid-replay)
+    Replayer(table, auto_compact=False).run(log)
     before = table.read().toPandas()
     fm = table.files_map()
     assert any("/s1/" not in f for fl in fm.values() for f in fl)  # deltas exist
@@ -324,7 +326,7 @@ def test_mor_compact_bounded_buckets(spark, tmp_path):
     base = gen_base(spark, n_docs=400, seed=17)
     log = gen_changelog(spark, n_docs=400, n_events=2000, seed=17, epoch_size=1000)
     table = make_table(spark, tmp_path, base, merge_mode="mor")
-    Replayer(table).run(log)
+    Replayer(table, auto_compact=False).run(log)  # keep chains intact
     expected = replay_oracle(base.toPandas(), log.toPandas())
     resolved = table._resolve(table.snapshot())
     dirty = sorted(int(b) for b, e in resolved.items() if e.get("deltas"))
@@ -345,7 +347,7 @@ def test_expire_snapshots_preserves_live_mor_deltas(spark, tmp_path):
     base = gen_base(spark, n_docs=300, seed=29)
     log = gen_changelog(spark, n_docs=300, n_events=3000, seed=29, epoch_size=500)
     table = make_table(spark, tmp_path, base, merge_mode="mor")
-    Replayer(table).run(log)
+    Replayer(table, auto_compact=False).run(log)  # keep live deltas
     expected = replay_oracle(base.toPandas(), log.toPandas())
     res = table.expire_snapshots(keep_last=1)
     assert res["removed_snapshots"] > 0
@@ -387,3 +389,156 @@ def test_resolve_migrates_legacy_files_layout(spark, tmp_path):
     snap.pop("files")
     with pytest.raises(ValueError, match="refusing"):
         table._resolve(snap)
+
+
+def _one_row_src(spark, doc_id="doc-00000001", tokens=(1,), lsn=10, epoch=0):
+    return spark.createDataFrame(
+        [(doc_id, list(tokens), len(tokens), "web", "U", lsn, epoch,
+          _dt.datetime(2023, 11, 14, 2, 0, 0))],
+        "doc_id string, tokens array<int>, n_tok int, source string, "
+        "op string, lsn long, epoch long, ts timestamp",
+    )
+
+
+def test_merge_after_legacy_snapshot_keeps_untouched_buckets(spark, tmp_path):
+    """ADVICE r3 (high): the first merge on a pre-manifest snapshot must
+    materialize the migrated inline-'files' map as a manifest — not seed
+    the manifest list empty, which silently dropped every bucket the
+    commit didn't touch (1-key merge into 8 buckets left 1 bucket)."""
+    base = gen_base(spark, n_docs=200, seed=7)
+    table = make_table(spark, tmp_path, base, n_buckets=8)
+    n_before = table.read().count()
+    # rewrite v1.json in the legacy layout: inline 'files', no 'manifests'
+    snap = table.snapshot()
+    files = {b: fl for b, fl in table.files_map().items()}
+    snap.pop("manifests")
+    snap["files"] = files
+    with open(os.path.join(table.meta_dir, "v1.json"), "w") as fh:
+        json.dump(snap, fh)
+    table._manifest_cache.clear()
+    table.merge(_one_row_src(spark), epoch=1)
+    assert len(table.files_map()) == 8  # every bucket survived
+    assert table.read().count() == n_before  # upsert of an existing key
+    assert "files" not in table.snapshot()  # migrated to manifests
+
+
+def test_compact_after_legacy_snapshot_keeps_untouched_buckets(spark, tmp_path):
+    """Same legacy-migration guarantee on the compact() path (it shares
+    _next_manifests with merge). A legacy CoW table upgraded to MoR via
+    one delta merge then compacted must keep all buckets."""
+    base = gen_base(spark, n_docs=200, seed=17)
+    table = make_table(spark, tmp_path, base, n_buckets=8, merge_mode="mor")
+    n_before = table.read().count()
+    snap = table.snapshot()
+    files = {b: [f for f in e["base"]] for b, e in table._resolve(snap).items()}
+    snap.pop("manifests")
+    snap["files"] = files
+    with open(os.path.join(table.meta_dir, "v1.json"), "w") as fh:
+        json.dump(snap, fh)
+    table._manifest_cache.clear()
+    table.merge(_one_row_src(spark), epoch=1)  # writes one delta
+    table.compact()
+    assert len(table.files_map()) == 8
+    assert table.read().count() == n_before
+
+
+def test_losing_racer_cannot_clobber_winner_files(spark, tmp_path):
+    """ADVICE r3 (medium): two racing writers target the same version;
+    the loser's bucket write must land in its own attempt dir so its
+    mode('overwrite') can never delete the winner's committed parquet
+    files before the O_EXCL gate rejects it."""
+    from etl_gmaps_spark.tableio import CommitConflict
+
+    base = gen_base(spark, n_docs=100, seed=8)
+    table = make_table(spark, tmp_path, base, n_buckets=4)
+    stale = table.snapshot()  # what the loser read before losing
+    table.merge(_one_row_src(spark), epoch=1)  # winner commits v2
+    winner_files = [f for fl in table.files_map().values() for f in fl]
+    assert winner_files and all(os.path.exists(f) for f in winner_files)
+    loser = SnapshotTable(spark, table.root)
+    seeded = (
+        base.limit(10)
+        .withColumn("_lsn", F.lit(1).cast("long"))
+        .withColumn("_deleted", F.lit(False))
+    )
+    loser._write_buckets(seeded, version=2, key_col="doc_id", n_buckets=4)
+    with pytest.raises(CommitConflict):
+        loser._commit_snapshot({**stale, "version": 2})
+    # the loser wrote AND lost — every committed file must still exist
+    assert all(os.path.exists(f) for f in winner_files)
+    assert table.read().count() == 100
+
+
+def test_mor_seq_unaffected_by_digits_in_root_path(spark, tmp_path):
+    """ADVICE r3 (low): the MoR commit sequence is recovered from the
+    file path; the pattern must anchor to the table layout, or a root
+    containing /s2024/ yields a constant sequence for every file and
+    equal-lsn tie-breaks between commits go nondeterministic."""
+    root = tmp_path / "s2024" / "tbl"
+    base = gen_base(spark, n_docs=50, seed=3)
+    table = SnapshotTable.create(
+        spark, str(root), TARGET_SCHEMA, key_col="doc_id", n_buckets=4,
+        base_df=base, merge_mode="mor",
+    )
+    # same key, SAME lsn, two commits: the later commit must win
+    table.merge(_one_row_src(spark, tokens=(1,), lsn=5), epoch=1)
+    table.merge(_one_row_src(spark, tokens=(2, 2), lsn=5), epoch=2)
+    row = table.read().filter(F.col("doc_id") == "doc-00000001").collect()
+    assert len(row) == 1 and row[0]["tokens"] == [2, 2]
+
+
+def test_overwrite_remediates_bucket_hash_mismatch(spark, tmp_path):
+    """ADVICE r3 (low): overwrite() rewrites every bucket under the
+    current hash, so it must stamp the current bucket_hash — previously
+    it carried the stale stamp forward and merges kept failing even
+    after a full rewrite."""
+    from etl_gmaps_spark.tableio.snapshot_table import BUCKET_HASH
+
+    base = gen_base(spark, n_docs=40, seed=6)
+    table = make_table(spark, tmp_path, base, n_buckets=4)
+    snap = table.snapshot()
+    snap["bucket_hash"] = "xxhash64_v0"
+    snap["version"] += 1
+    table._commit_snapshot(snap)
+    with pytest.raises(BucketHashMismatch):
+        table.merge(_one_row_src(spark), epoch=1)
+    table.overwrite(table.read(include_meta=True))
+    assert table.snapshot()["bucket_hash"] == BUCKET_HASH
+    table.merge(_one_row_src(spark), epoch=1)  # now succeeds
+    assert table.read().count() == 40
+
+
+def test_auto_compact_bounds_delta_chains(spark, tmp_path):
+    """VERDICT r3 #4: with the threshold policy ON, a long replay of
+    small uniform MoR epochs keeps every bucket's delta chain below the
+    trigger depth (reads stay ~O(base) file count instead of O(epochs)),
+    compaction commits are ledger-visible, and the final state still
+    equals the oracle."""
+    base = gen_base(spark, n_docs=400, seed=23)
+    n_buckets = 4
+    log = gen_changelog(
+        spark, n_docs=400, n_events=4000, seed=23, epoch_size=250,
+        dup_epochs=(), hot_frac=0.0,
+    )
+    table = make_table(
+        spark, tmp_path, base, n_buckets=n_buckets, merge_mode="mor"
+    )
+    max_chain = 4
+    # huge ratio isolates the depth trigger so the assertion is exact
+    Replayer(
+        table, compact_max_chain=max_chain, compact_max_delta_ratio=1e9
+    ).run(log)  # 16 epochs -> without the policy, chains reach depth 16
+    resolved = table._resolve(table.snapshot())
+    depths = {int(b): len(e.get("deltas", [])) for b, e in resolved.items()}
+    assert max(depths.values()) < max_chain, depths
+    # read cost: the reconcile window sees at most base + (max_chain-1)
+    # delta files per bucket, not one file per epoch
+    n_files = sum(
+        len(e.get("base", [])) + len(e.get("deltas", [])) for e in resolved.values()
+    )
+    assert n_files <= 2 * n_buckets * max_chain
+    # compaction surfaced in the ledger
+    kinds = [c.get("kind") for c in table.commit_log()]
+    assert "compact" in kinds
+    expected = replay_oracle(base.toPandas(), log.toPandas())
+    assert_table_equal(table.read(), expected)

@@ -130,8 +130,18 @@ def test_merge_bucket_alignment_one_file_per_bucket(spark, tmp_path):
     assert snap["version"] == 2
     for b, files in table.files_map().items():
         assert len(files) == 1, f"bucket {b}: {len(files)} files (alignment broken)"
-    # rows physically live in the dir their key hashes to
-    df = spark.read.parquet(os.path.join(root, "data", "s2"))
+    # rows physically live in the dir their key hashes to; the commit's
+    # snapshot dir carries a per-attempt nonce (s2-<hex>), so resolve it
+    # from the manifest instead of hard-coding the name
+    s2_dirs = {
+        os.path.dirname(os.path.dirname(f))
+        for fl in table.files_map().values()
+        for f in fl
+    }
+    assert len(s2_dirs) == 1  # one commit -> one snapshot data dir
+    s2_dir = next(iter(s2_dirs))
+    assert os.path.basename(s2_dir).startswith("s2")
+    df = spark.read.parquet(s2_dir)
     mismatch = df.withColumn(
         "_calc", bucket_expr("doc_id", 8)
     ).filter(F.col("_calc") != F.col("_bucket")).count()
