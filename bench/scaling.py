@@ -82,8 +82,15 @@ def run_level(n_execs: int, n_events: int) -> dict:
         sys.executable, os.path.join(REPO, "bench.py"),
     ]
     out = subprocess.run(cmd, env=env, capture_output=True, text=True, check=True, cwd=REPO)
-    line = [ln for ln in out.stdout.strip().splitlines() if ln.startswith("{")][-1]
-    return json.loads(line)["replay"]
+    # full detail (incl. the REPLAY_PROFILE Amdahl phases) lives in the
+    # side file; the driver stdout line is deliberately compact (r3 #1)
+    detail = os.path.join(REPO, "BENCH", "queries_latest.json")
+    try:
+        with open(detail) as fh:
+            return json.load(fh)["replay"]
+    except (OSError, KeyError, ValueError):
+        line = [ln for ln in out.stdout.strip().splitlines() if ln.startswith("{")][-1]
+        return json.loads(line)["replay"]
 
 
 CLUSTER_PHASES = ("stats_collect", "write_buckets")
@@ -98,7 +105,7 @@ def _amdahl_md(best: dict, n: int, four_n: int) -> str:
     absolute seconds across levels (a cluster has one driver)."""
     if not all(best[c].get("prof") for c in (n, four_n)):
         return ""
-    profs = {c: best[c]["prof"] for c in (n, four_n)}
+    profs = {c: best[c]["prof"] for c in (n, four_n)}  # best PROFILED run
     phases = [p for p in CLUSTER_PHASES + SERIAL_PHASES if any(p in pr for pr in profs.values())]
     rows = "\n".join(
         f"| {p} | {'cluster' if p in CLUSTER_PHASES else 'driver-serial'} | "
@@ -185,6 +192,12 @@ def main() -> None:
         curve[c] = min(pool, key=lambda r: r["replay_sec"]) if pool else run_level(c, n_events)
 
     best = {c: min(rs, key=lambda r: r["replay_sec"]) for c, rs in runs.items()}
+    # the Amdahl table wants phase profiles; if a level's fastest run
+    # predates profile capture, decompose its best PROFILED run instead
+    best_prof = {
+        c: min((r for r in rs if r.get("prof")), key=lambda r: r["replay_sec"], default=best[c])
+        for c, rs in runs.items()
+    }
     tput_n = best[n]["events_per_sec"]
     tput_4n = best[four_n]["events_per_sec"]
     eff = (tput_4n / tput_n) / (four_n / n)
@@ -258,7 +271,7 @@ All raw measurements: {raw}.
 
 **Scaling efficiency = ({tput_4n:,.0f} / {tput_n:,.0f}) / 4 = {eff:.3f}**
 (target >= 0.8) — {"PASS" if eff >= 0.8 else "FAIL"}.
-{_amdahl_md(best, n, four_n)}{curve_md}
+{_amdahl_md(best_prof, n, four_n)}{curve_md}
 Protocol notes, in full (round-1 advice: one documented method, no
 metric-shopping):
 
@@ -308,7 +321,7 @@ policy serves is batch ≪ table. Raw runs: {raw}.
 
 **MoR scaling efficiency = ({tput_4n:,.0f} / {tput_n:,.0f}) / 4 = {eff:.3f}**
 (target >= 0.8) — {"PASS" if eff >= 0.8 else "FAIL"}.
-{_amdahl_md(best, n, four_n)}"""
+{_amdahl_md(best_prof, n, four_n)}"""
         )
         body = open(out_path).read() if os.path.exists(out_path) else ""
         if marker in body:
