@@ -809,6 +809,28 @@ class SnapshotTable:
                     if fn.endswith(".parquet") and p not in live_files:
                         os.remove(p)
                         removed_files += 1
+            # prune now-empty bucket/snapshot dirs (each commit attempt
+            # creates a fresh nonce'd dir, so fully-expired snapshots
+            # would otherwise leave empty dirs behind forever)
+            for root_dir, _, _ in os.walk(full, topdown=False):
+                if root_dir == self.data_dir:
+                    continue
+                # re-listdir: walk's cached names don't see children
+                # removed earlier in this bottom-up pass. A dir whose
+                # only remaining content is write markers (_SUCCESS,
+                # .crc) holds no data: clear them and drop the dir.
+                entries = os.listdir(root_dir)
+                markers = [
+                    e for e in entries
+                    if e == "_SUCCESS" or e.endswith(".crc") or e.startswith("._")
+                ]
+                if len(markers) == len(entries):
+                    try:
+                        for e in markers:
+                            os.remove(os.path.join(root_dir, e))
+                        os.rmdir(root_dir)
+                    except OSError:
+                        pass
         for v in versions:
             if v not in keep:
                 os.remove(os.path.join(self.meta_dir, f"v{v}.json"))

@@ -3,6 +3,8 @@
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import functions as F
 
 from etl_gmaps_spark.datagen import gen_base, gen_changelog
@@ -62,6 +64,18 @@ def test_expire_snapshots_keeps_current_state(spark, tmp_path):
 
     with pytest.raises(FileNotFoundError):
         table.snapshot(1)
+    # fully-expired snapshot dirs are pruned, not left empty (each
+    # commit attempt writes a fresh nonce'd dir)
+    live = {
+        f
+        for v in kept
+        for fl in table.files_map(version=v).values()
+        for f in fl
+    }
+    live_dirs = {os.path.dirname(os.path.dirname(f)) for f in live}
+    for d in os.listdir(table.data_dir):
+        full = os.path.join(table.data_dir, d)
+        assert full in live_dirs, f"empty expired dir left behind: {d}"
 
 
 def test_tombstone_compaction(spark, tmp_path):
