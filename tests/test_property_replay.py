@@ -123,3 +123,76 @@ def test_random_streams_through_full_engine(
         pd.testing.assert_frame_equal(state(), w[sorted(w.columns)], check_dtype=False)
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(event, min_size=4, max_size=30),
+    st.lists(
+        st.sampled_from(["compact", "maintain", "expire", "noop"]),
+        min_size=1,
+        max_size=4,
+    ),
+    st.randoms(),
+)
+def test_random_maintenance_interleavings_preserve_state(
+    spark_session_holder, events, maintenance_ops, rnd
+):
+    """Round-4 property: arbitrary interleavings of the table's
+    maintenance surface (threshold maintain(), full compact(), snapshot
+    expiry, nothing) BETWEEN commits of a merge-on-read replay must
+    never change the observable state — the final table equals the
+    oracle, and a fresh handle on the same root reads the same rows."""
+    import shutil
+    import tempfile
+
+    from etl_gmaps_spark.schemas import TARGET_SCHEMA
+    from etl_gmaps_spark.streaming.replay import Replayer
+    from etl_gmaps_spark.tableio import SnapshotTable
+
+    spark = spark_session_holder
+    rows = []
+    for lsn, (doc, op, toks) in enumerate(events, start=1):
+        if op == "D":
+            rows.append((lsn, lsn // 10, op, doc, None, None, None))
+        else:
+            rows.append((lsn, lsn // 10, op, doc, toks, len(toks), "web"))
+    rnd.shuffle(rows)
+    pdf = pd.DataFrame(
+        rows, columns=["lsn", "epoch", "op", "doc_id", "tokens", "n_tok", "source"]
+    )
+    pdf["ts"] = pd.to_datetime(pdf["lsn"], unit="s", utc=True)
+    log = spark.createDataFrame(
+        pdf,
+        "lsn long, epoch long, op string, doc_id string, tokens array<int>, "
+        "n_tok int, source string, ts timestamp",
+    )
+    want = replay_oracle(None, pdf.drop(columns=["ts"]))
+    want = want.sort_values("doc_id").reset_index(drop=True)
+    want["tokens"] = want["tokens"].map(lambda v: None if v is None else tuple(v))
+    workdir = tempfile.mkdtemp(prefix="prop_maint_")
+    try:
+        table = SnapshotTable.create(
+            spark, f"{workdir}/t", TARGET_SCHEMA, n_buckets=4, merge_mode="mor"
+        )
+        r = Replayer(table, auto_compact=False)  # interleave explicitly instead
+        epochs = sorted(pdf["epoch"].unique())
+        for i, e in enumerate(epochs):
+            r.apply_batch(log.filter(log.epoch == int(e)), epoch=int(e))
+            op = maintenance_ops[i % len(maintenance_ops)]
+            if op == "compact":
+                table.compact()
+            elif op == "maintain":
+                table.maintain(max_chain=2, max_delta_ratio=0.1)
+            elif op == "expire":
+                table.expire_snapshots(keep_last=2)
+        got = table.read().toPandas().sort_values("doc_id").reset_index(drop=True)
+        got["tokens"] = got["tokens"].map(lambda v: None if v is None else tuple(v))
+        pd.testing.assert_frame_equal(
+            got[sorted(got.columns)], want[sorted(want.columns)], check_dtype=False
+        )
+        # a fresh handle (new process analog) resolves to the same state
+        again = SnapshotTable(spark, f"{workdir}/t").read().count()
+        assert again == len(want)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
