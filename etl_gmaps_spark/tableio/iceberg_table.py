@@ -162,6 +162,7 @@ class IcebergTable:
         op_col: str = "op",
         extra_properties: dict[str, Any] | None = None,
         stats: dict[str, Any] | None = None,
+        key_col: str | None = None,
     ) -> CommitResult:
         if epoch is not None and epoch in self.applied_epochs():
             return CommitResult(-1, -1, 0, 0, epoch)
@@ -173,7 +174,8 @@ class IcebergTable:
             if f.name not in target_cols and f.name != op_col:
                 self.spark.sql(add_column_sql(self.identifier, f.name, f.dataType))
         winners.createOrReplaceTempView("_cdc_source")
-        key = [f.name for f in winners.schema.fields][0]  # convention: key first
+        # explicit key_col wins; else the key-first convention
+        key = key_col or [f.name for f in winners.schema.fields][0]
         try:
             self.spark.sql(merge_sql(self.identifier, key, payload, op_col))
         finally:
