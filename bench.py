@@ -243,7 +243,12 @@ def main() -> None:
         "cpus": TOTAL_CORES,
         "replay": replay,
     }
-    side = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH", "queries_latest.json")
+    # BENCH_SIDE_FILE: a per-run detail path so concurrent launches
+    # (e.g. CoW and MoR scaling orchestrators) never race on the shared
+    # default and cross-attribute each other's replay numbers
+    side = os.environ.get("BENCH_SIDE_FILE") or os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH", "queries_latest.json"
+    )
     os.makedirs(os.path.dirname(side), exist_ok=True)
     with open(side, "w") as fh:
         json.dump(detail, fh, indent=1)
@@ -261,7 +266,7 @@ def main() -> None:
         "unit": "sec",
         "queries": {},
         "queries_sec_total": round(sum(queries.values()), 2),
-        "queries_file": "BENCH/queries_latest.json",
+        "queries_file": side,
         "sf": detail["sf"],
         "cpus": TOTAL_CORES,
         "replay": compact_replay,

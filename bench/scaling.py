@@ -76,6 +76,13 @@ def run_level(n_execs: int, n_events: int) -> dict:
         # later launch (any level) replays the SAME parquet files
         BENCH_LOG_DIR=os.path.join(shm, f"scaling-log-{n_events}"),
     )
+    # per-run side file: concurrent CoW/MoR launches share the ledger by
+    # design, but the old shared BENCH/queries_latest.json path let one
+    # mode's replay numbers be attributed to the other
+    detail = os.path.join(
+        shm, f"scaling-detail-{n_execs}x-{os.getpid()}-{os.urandom(4).hex()}.json"
+    )
+    env["BENCH_SIDE_FILE"] = detail
     n_cores = CORES_PER_EXEC * n_execs + DRIVER_CORES
     cmd = [
         "taskset", "-c", f"0-{n_cores - 1}",
@@ -84,13 +91,21 @@ def run_level(n_execs: int, n_events: int) -> dict:
     out = subprocess.run(cmd, env=env, capture_output=True, text=True, check=True, cwd=REPO)
     # full detail (incl. the REPLAY_PROFILE Amdahl phases) lives in the
     # side file; the driver stdout line is deliberately compact (r3 #1)
-    detail = os.path.join(REPO, "BENCH", "queries_latest.json")
+    want_mode = env.get("BENCH_MERGE_MODE", "cow")
     try:
         with open(detail) as fh:
-            return json.load(fh)["replay"]
+            replay = json.load(fh)["replay"]
+        if replay.get("merge_mode", "cow") != want_mode:
+            raise ValueError(f"side file carries {replay.get('merge_mode')}, want {want_mode}")
+        return replay
     except (OSError, KeyError, ValueError):
         line = [ln for ln in out.stdout.strip().splitlines() if ln.startswith("{")][-1]
         return json.loads(line)["replay"]
+    finally:
+        try:
+            os.remove(detail)
+        except OSError:
+            pass
 
 
 CLUSTER_PHASES = ("stats_collect", "write_buckets")

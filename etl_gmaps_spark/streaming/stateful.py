@@ -86,12 +86,27 @@ def streaming_lww_gate(
         # state ratchet alone can't separate them — without this the
         # emitted stream would violate the strictly-increasing-lsn
         # contract (the sink's _lsn guard would mask it, but the whole
-        # point of the gate is that duplicates die here)
-        whole = (
-            pd.concat(chunks, ignore_index=True)
-            .sort_values(lsn_col)
-            .drop_duplicates(subset=[lsn_col], keep="first")
+        # point of the gate is that duplicates die here). Stable sort +
+        # full-row signature: only BYTE-IDENTICAL replayed rows
+        # collapse; same-lsn rows with differing payloads (an upstream
+        # bug) all survive, so the divergence stays visible downstream
+        # instead of a quicksort-order-dependent survivor masking it.
+        whole = pd.concat(chunks, ignore_index=True).sort_values(
+            lsn_col, kind="stable"
         )
+        dup = whole[lsn_col].duplicated(keep=False)
+        if dup.any():
+            # signature only over the (rare) duplicated-lsn rows; list
+            # payloads (token arrays) are unhashable for a plain
+            # drop_duplicates, so serialize per row — bounded by the
+            # duplicate count, not the batch
+            sig = whole.loc[dup].apply(
+                lambda r: repr(
+                    tuple(x.tolist() if hasattr(x, "tolist") else x for x in r)
+                ),
+                axis=1,
+            )
+            whole = whole.drop(index=sig.index[sig.duplicated()])
         fresh = whole[whole[lsn_col] > max_seen]
         if len(fresh):
             max_seen = int(fresh[lsn_col].max())

@@ -52,6 +52,24 @@ def add_column_sql(identifier: str, name: str, data_type: T.DataType) -> str:
     return f"ALTER TABLE {identifier} ADD COLUMN {name} {data_type.simpleString()}"
 
 
+def epoch_property_sql(
+    identifier: str, epoch: int, snapshot_id: int, events: int = 0
+) -> str:
+    """Epoch-ledger stamp: a table property the engine fully controls.
+
+    NOT ``spark.wap.id``: Iceberg only records wap.id when
+    ``write.wap.enabled=true``, and with WAP enabled every commit is
+    STAGED (invisible to reads until published) — either way the
+    session conf is the wrong mechanism (silently ignored on a default
+    table, or breaking read() parity on a WAP one). A plain
+    TBLPROPERTIES key publishes normally, survives in table metadata,
+    and maps epoch → the snapshot that applied it."""
+    return (
+        f"ALTER TABLE {identifier} SET TBLPROPERTIES "
+        f"('cdc.epoch.{int(epoch)}'='{int(snapshot_id)}:{int(events)}')"
+    )
+
+
 def merge_sql(
     identifier: str, key: str, payload_cols: list[str], op_col: str = "op",
     source_view: str = "_cdc_source",
@@ -73,11 +91,12 @@ def merge_sql(
 
 
 class IcebergTable:
-    """MERGE INTO / snapshot-properties implementation on Iceberg SQL.
+    """MERGE INTO / table-properties implementation on Iceberg SQL.
 
-    Mirrors SnapshotTable: the epoch ledger lives in snapshot summary
-    via `spark.wap`-style commit properties; checkpoint parquet sits
-    beside the table. Only exercised when the runtime jar exists.
+    Mirrors SnapshotTable: the epoch ledger lives in table properties
+    (`cdc.epoch.<epoch>` = `<snapshot_id>:<events>`, stamped right
+    after each MERGE commit); checkpoint parquet sits beside the
+    table. Only exercised when the runtime jar exists.
     """
 
     def __init__(self, spark: SparkSession, identifier: str):
@@ -108,21 +127,22 @@ class IcebergTable:
     def schema(self) -> T.StructType:
         return self.read().schema
 
-    def applied_epochs(self) -> set[int]:
-        rows = self.spark.sql(
-            f"SELECT summary FROM {self.identifier}.snapshots"
-        ).collect()
-        out: set[int] = set()
+    def _epoch_ledger(self) -> dict[int, tuple[int, int]]:
+        """{epoch: (snapshot_id, events)} from the `cdc.epoch.*` table
+        properties merge() stamps. SHOW TBLPROPERTIES is metadata-only
+        (no data scan) and — unlike snapshot summaries — needs no
+        write.wap.enabled or session conf to round-trip."""
+        rows = self.spark.sql(f"SHOW TBLPROPERTIES {self.identifier}").collect()
+        out: dict[int, tuple[int, int]] = {}
         for r in rows:
-            summ = r.summary or {}
-            # merge() stamps the epoch via spark.wap.id, which Iceberg
-            # records in the snapshot summary as "wap.id" (the public
-            # write-audit-publish mechanism); "cdc.epoch" is accepted
-            # too for writers using the Java CommitMetadata API
-            e = summ.get("cdc.epoch", summ.get("wap.id"))
-            if e is not None:
-                out.add(int(e))
+            if not r["key"].startswith("cdc.epoch."):
+                continue
+            snap_s, _, ev_s = str(r["value"]).partition(":")
+            out[int(r["key"][len("cdc.epoch."):])] = (int(snap_s), int(ev_s or 0))
         return out
+
+    def applied_epochs(self) -> set[int]:
+        return set(self._epoch_ledger())
 
     def commit_log(
         self,
@@ -132,20 +152,23 @@ class IcebergTable:
     ) -> list[dict]:
         """S4/O3 parity with SnapshotTable.commit_log: the job-ledger
         select (newest first, optional filters, LIMIT) answered from
-        Iceberg's `.snapshots` metadata table."""
+        Iceberg's `.snapshots` metadata table joined with the
+        `cdc.epoch.*` property ledger."""
+        by_snap: dict[int, tuple[int, int]] = {
+            snap: (e, ev) for e, (snap, ev) in self._epoch_ledger().items()
+        }
         rows = self.spark.sql(
-            f"SELECT snapshot_id, summary FROM {self.identifier}.snapshots "
+            f"SELECT snapshot_id FROM {self.identifier}.snapshots "
             "ORDER BY committed_at DESC"
         ).collect()
         out: list[dict] = []
         for r in rows:
-            summ = r.summary or {}
-            e = summ.get("cdc.epoch", summ.get("wap.id"))
+            e, ev = by_snap.get(r.snapshot_id, (None, 0))
             c = {
                 "snapshot": r.snapshot_id,
                 "status": "ok",
-                "epochs": [int(e)] if e is not None else [],
-                "events": int(summ.get("cdc.events", 0) or 0),
+                "epochs": [e] if e is not None else [],
+                "events": ev,
             }
             if status is not None and c["status"] != status:
                 continue
@@ -166,8 +189,6 @@ class IcebergTable:
     ) -> CommitResult:
         if epoch is not None and epoch in self.applied_epochs():
             return CommitResult(-1, -1, 0, 0, epoch)
-        if epoch is not None:
-            self.spark.conf.set("spark.wap.id", str(epoch))
         payload = [f.name for f in winners.schema.fields if f.name != op_col]
         target_cols = {f.name for f in self.schema().fields}
         for f in winners.schema.fields:
@@ -176,18 +197,19 @@ class IcebergTable:
         winners.createOrReplaceTempView("_cdc_source")
         # explicit key_col wins; else the key-first convention
         key = key_col or [f.name for f in winners.schema.fields][0]
-        try:
-            self.spark.sql(merge_sql(self.identifier, key, payload, op_col))
-        finally:
-            if epoch is not None:
-                # a lingering wap.id would stamp UNRELATED later commits
-                # with this epoch, silently ledger-skipping them
-                self.spark.conf.unset("spark.wap.id")
+        self.spark.sql(merge_sql(self.identifier, key, payload, op_col))
         snap = self.spark.sql(
             f"SELECT snapshot_id FROM {self.identifier}.snapshots ORDER BY committed_at DESC LIMIT 1"
         ).collect()[0][0]
         if epoch is not None:
-            self.spark.sql(
-                f"ALTER TABLE {self.identifier} SET TBLPROPERTIES ('cdc.last_epoch'='{epoch}')"
-            )
+            # Stamp AFTER the MERGE commits. A crash in the window
+            # between the two leaves the epoch unstamped and the replay
+            # re-runs the MERGE — which is state-idempotent for a unique
+            # keyed LWW winner set (matched-update rewrites the same
+            # values; a replayed insert matches and updates; a replayed
+            # delete finds no match and the NOT MATCHED arm excludes
+            # op='D'), so at-least-once stamping still yields
+            # exactly-once table state.
+            events = int((stats or {}).get("events", 0))
+            self.spark.sql(epoch_property_sql(self.identifier, epoch, snap, events))
         return CommitResult(-1, snap, -1, -1, epoch)

@@ -776,14 +776,31 @@ class SnapshotTable:
             return None
         return self.compact(buckets=todo)
 
-    def expire_snapshots(self, keep_last: int = 2) -> dict:
+    def expire_snapshots(
+        self, keep_last: int = 2, orphan_min_age_sec: float = 600.0
+    ) -> dict:
         """Storage hygiene (Iceberg expire_snapshots analog): delete
         data files and manifests referenced ONLY by snapshots older than
         the last ``keep_last``, and their metadata. The current snapshot
         and its recent ancestors stay time-travelable; the pointer file
         is never touched, so this is safe against concurrent readers of
-        retained versions."""
+        retained versions.
+
+        Safe against concurrent WRITERS too: the commit protocol lands
+        data files in a nonce'd dir BEFORE the O_EXCL pointer
+        (_write_buckets → _commit_snapshot), so an in-flight attempt is
+        unreferenced by construction. Files referenced by NO snapshot
+        version are therefore treated as possible in-flight commits and
+        deleted only when older than ``orphan_min_age_sec`` (mtime) —
+        the same min-age split Iceberg makes between expire_snapshots
+        (expired-referenced files, deleted freely) and
+        remove_orphan_files (never-referenced files, age-guarded). A
+        commit attempt that stalls longer than the guard between write
+        and pointer is presumed dead — size the guard above the worst
+        write-to-commit latency (600 s default vs the ~seconds the
+        engine's own commits take)."""
         import shutil
+        import time
 
         current = self._current_version()
         versions = sorted(
@@ -794,21 +811,46 @@ class SnapshotTable:
         live_files: set[str] = set()
         live_ckpts: set[str] = set()
         live_manifests: set[str] = set()
-        for v in keep:
+        # referenced by ANY committed version (vs in-flight/orphaned):
+        # the write→pointer window applies to manifests and checkpoint
+        # parquet exactly as to data files — all land before the O_EXCL
+        # pointer — so all three get the same never-referenced age guard
+        referenced_any: set[str] = set()
+        for v in versions:
             snap = self.snapshot(v)
-            live_files.update(self._all_files(snap))
-            live_manifests.update(snap.get("manifests", []))
+            files = self._all_files(snap)
+            referenced_any.update(files)
+            referenced_any.update(snap.get("manifests", []))
             if snap.get("checkpoint_file"):
-                live_ckpts.add(snap["checkpoint_file"])
+                referenced_any.add(snap["checkpoint_file"])
+            if v in keep:
+                live_files.update(files)
+                live_manifests.update(snap.get("manifests", []))
+                if snap.get("checkpoint_file"):
+                    live_ckpts.add(snap["checkpoint_file"])
+
+        def _orphan_guarded(p: str) -> bool:
+            """True = skip deleting: never-referenced and younger than
+            the guard → possibly an in-flight commit attempt."""
+            if p in referenced_any:
+                return False
+            try:
+                return now - os.path.getmtime(p) < orphan_min_age_sec
+            except OSError:
+                return True  # vanished or unstattable: leave it alone
         removed_files = removed_snaps = 0
+        now = time.time()
         for sdir in os.listdir(self.data_dir):
             full = os.path.join(self.data_dir, sdir)
             for root_dir, _, fnames in os.walk(full):
                 for fn in fnames:
                     p = os.path.join(root_dir, fn)
-                    if fn.endswith(".parquet") and p not in live_files:
-                        os.remove(p)
-                        removed_files += 1
+                    if not fn.endswith(".parquet") or p in live_files:
+                        continue
+                    if _orphan_guarded(p):
+                        continue
+                    os.remove(p)
+                    removed_files += 1
             # prune now-empty bucket/snapshot dirs (each commit attempt
             # creates a fresh nonce'd dir, so fully-expired snapshots
             # would otherwise leave empty dirs behind forever)
@@ -838,12 +880,12 @@ class SnapshotTable:
         if os.path.isdir(self.manifest_dir):
             for f in os.listdir(self.manifest_dir):
                 p = os.path.join(self.manifest_dir, f)
-                if p not in live_manifests:
+                if p not in live_manifests and not _orphan_guarded(p):
                     os.remove(p)
                     self._manifest_cache.pop(p, None)
         for f in os.listdir(self.meta_dir):
             p = os.path.join(self.meta_dir, f)
-            if f.startswith("ckpt-") and p not in live_ckpts:
+            if f.startswith("ckpt-") and p not in live_ckpts and not _orphan_guarded(p):
                 shutil.rmtree(p, ignore_errors=True) if os.path.isdir(p) else os.remove(p)
         return {"removed_files": removed_files, "removed_snapshots": removed_snaps, "kept": sorted(keep)}
 

@@ -85,8 +85,10 @@ def test_mor_compact_folds_deltas(spark, tmp_path):
     # delta chains (the policy would fold them mid-replay)
     Replayer(table, auto_compact=False).run(log)
     before = table.read().toPandas()
-    fm = table.files_map()
-    assert any("/s1/" not in f for fl in fm.values() for f in fl)  # deltas exist
+    # deltas exist — assert on the resolved manifest, not path shape
+    # (nonce'd data dirs made the old "/s1/ not in path" check vacuous)
+    resolved = table._resolve(table.snapshot())
+    assert any(e.get("deltas") for e in resolved.values())
     res = table.compact()
     assert res.buckets_rewritten > 0
     fm2 = {

@@ -24,7 +24,10 @@ the only knobs; everything else is self-contained.)
 What it proves, in order:
   1. create():  CREATE TABLE ... PARTITIONED BY (bucket(N, doc_id))
   2. merge():   MERGE INTO upsert + delete semantics
-  3. ledger:    re-merging an applied epoch is a no-op (wap.id summary)
+  3. ledger:    re-merging an applied epoch is a no-op (the
+                `cdc.epoch.<e>` TBLPROPERTIES stamp — not wap.id, which
+                Iceberg ignores unless write.wap.enabled and then
+                STAGES commits instead of publishing them)
   4. evolution: a new source column ALTER-ADDs and backfills null
   5. commit_log: the S4 ledger surface answered from `.snapshots`
   6. parity:    final rows == SnapshotTable applying the same batches
