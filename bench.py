@@ -45,6 +45,33 @@ N_BUCKETS = 32  # constant across parallelism levels: same table layout
 MERGE_MODE = os.environ.get("BENCH_MERGE_MODE", "cow")
 
 
+def calibrate(spark) -> float:
+    """Fixed-work noise sentinel (VERDICT r4 #1): hash a constant number
+    of int64s PER CORE in one codegen'd job. The work is pure CPU, no
+    I/O, no shuffle, sized per-core so the nominal time is the same at
+    every parallelism level — so a slow host window is machine-readable
+    from the driver line itself instead of needing forensic
+    cross-referencing against side files. Run at bench start AND end;
+    a calib_sec far above nominal (~1.7 s on this host's fast windows,
+    see BENCH/NOTES_r05.md) marks every timing in that run suspect."""
+    from pyspark.sql import functions as F
+
+    rows_per_core = int(os.environ.get("BENCH_CALIB_ROWS", "80000000"))
+    cores = max(1, TOTAL_CORES)
+
+    def job(n: int) -> None:
+        # pmod before sum: ANSI mode makes a raw sum of 64-bit hashes
+        # throw ARITHMETIC_OVERFLOW; bounded terms keep the total < 2^63
+        spark.range(0, n, 1, cores).select(
+            F.sum(F.pmod(F.xxhash64("id"), F.lit(1_000_003))).alias("h")
+        ).collect()
+
+    job(cores * 100_000)  # untimed: JIT/codegen warmup (~2.7 s cold)
+    t0 = monotonic()
+    job(rows_per_core * cores)
+    return round(monotonic() - t0, 3)
+
+
 def bench_replay(spark) -> dict:
     """Generate a synthetic binlog and replay it through the engine."""
     from etl_gmaps_spark.datagen import gen_base, gen_changelog
@@ -115,6 +142,7 @@ def bench_replay(spark) -> dict:
         repeats = int(os.environ.get("BENCH_REPEAT", "3"))
         best = None
         final_rows = None
+        repeat_secs: list[float] = []
         log_bytes = sum(
             os.path.getsize(os.path.join(r, f))
             for r, _, fs in os.walk(log_path)
@@ -138,6 +166,7 @@ def bench_replay(spark) -> dict:
             t0 = monotonic()
             m = Replayer(table, auto_compact=False).run(log, batch_epochs=BATCH_EPOCHS)
             elapsed = monotonic() - t0
+            repeat_secs.append(round(elapsed, 3))
             if best is None or elapsed < best["replay_sec"]:
                 # CoW write amplification: parquet bytes physically
                 # rewritten across all epoch commits vs the change-log
@@ -169,6 +198,10 @@ def bench_replay(spark) -> dict:
                 final_rows = table.read().count()
         best["final_rows"] = final_rows
         best["repeats"] = repeats
+        # per-repeat spread in the driver line: a wide spread (or a
+        # best-repeat far from the others) is the in-run noise signal
+        # that complements the start/end calibration sentinel
+        best["replay_repeats"] = repeat_secs
 
         # merge-on-read leg (one run, same log): write amplification in
         # BOTH modes is the uniform-batch CoW-cliff evidence — MoR writes
@@ -225,8 +258,12 @@ def main() -> None:
     from etl_gmaps_spark.session import get_spark
 
     spark = get_spark("bench", cpus=CPUS, shuffle_partitions=TOTAL_CORES)
+    # sentinel brackets the whole run: a slow start OR end calibration
+    # means the host window was degraded somewhere inside the run
+    calib = {"start_sec": calibrate(spark)}
     replay = bench_replay(spark)
     queries = {} if os.environ.get("BENCH_SKIP_QUERIES") == "1" else bench_queries(spark)
+    calib["end_sec"] = calibrate(spark)
     total = replay["replay_sec"] + sum(queries.values())
     # The driver tail-captures stdout and json-parses the LAST line; in
     # round 3 the 58-entry per-query dict grew the line past the capture
@@ -241,6 +278,7 @@ def main() -> None:
         "queries": queries,
         "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
         "cpus": TOTAL_CORES,
+        "calib_sec": calib,
         "replay": replay,
     }
     # BENCH_SIDE_FILE: a per-run detail path so concurrent launches
@@ -254,7 +292,7 @@ def main() -> None:
         json.dump(detail, fh, indent=1)
     compact_replay = {
         k: replay[k]
-        for k in ("merge_mode", "replay_sec", "events", "events_per_sec", "write_amplification", "final_rows")
+        for k in ("merge_mode", "replay_sec", "events", "events_per_sec", "write_amplification", "final_rows", "replay_repeats")
         if k in replay
     }
     if "mor" in replay:
@@ -269,6 +307,7 @@ def main() -> None:
         "queries_file": side,
         "sf": detail["sf"],
         "cpus": TOTAL_CORES,
+        "calib_sec": calib,
         "replay": compact_replay,
     }
     spark.stop()
