@@ -268,6 +268,7 @@ def train_centroids(
     vec_col: str = "embedding",
     oversample: int = 4,
     method: str = "auto",
+    round_digits: int | None = None,
 ) -> list[tuple[int, list[float]]]:
     """Seeded, DataFrame-native k-means: trains the IVF coarse quantizer
     from raw vectors (closes VERDICT r3 #5 — "training out of scope").
@@ -294,6 +295,14 @@ def train_centroids(
     Determinism: the only randomness is numpy RandomState(seed) over
     the driver-side candidate set; cluster-side selection is hash
     arithmetic. Same inputs + seed → identical centroids.
+
+    ``round_digits``: quantize the centers after init and after every
+    M-step. The M-step's distributed float sums depend on partition
+    split order, so unrounded training is deterministic only at a fixed
+    parallelism level; rounding absorbs the ~1e-13 summation-order
+    noise and makes the whole trajectory bit-identical across local[8]
+    vs local[32] vs a real cluster — the property the driver's
+    cross-engine oracle check needs.
 
     Returns [(centroid_id, vector)] with ids 0..k-1, directly usable by
     assign_cells / probe_cells / ivf_topk.
@@ -338,6 +347,8 @@ def train_centroids(
             continue
         chosen.append(int(rng.choice(len(cand), p=probs / total)))
     centers = cand[chosen]
+    if round_digits is not None:
+        centers = np.round(centers, round_digits)
 
     dim = centers.shape[1]
     for _ in range(n_iter):
@@ -357,6 +368,8 @@ def train_centroids(
             counts[c] = float(r["_n"])
         nonempty = counts > 0
         centers[nonempty] = sums[nonempty] / counts[nonempty, None]
+        if round_digits is not None:
+            centers = np.round(centers, round_digits)
     return [(i, [float(x) for x in c]) for i, c in enumerate(centers)]
 
 

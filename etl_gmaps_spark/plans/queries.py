@@ -603,18 +603,22 @@ def lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Rotation policy (VERDICT r3 "do this" #7): the catalog holds more
 # entries than the driver's 50-row correctness window, so the set pushed
 # past the window SWAPS each round — no entry goes two consecutive
-# rounds without a driver-green row. Round 4 promotes the eight entries
-# demoted in round 3 (driver-green r02, judge-checked r03) back into the
-# window and demotes eight entries with green r03 driver rows instead.
+# rounds without a driver-green row. Round 5 promotes the eight entries
+# demoted in round 4 (driver-green r03, judge-checked r04) back into the
+# window; the catalog grew to 60 (multimodal_decode, ivf_train_assign —
+# both new, so both IN the window for their first driver row), so TEN
+# r04-green entries rotate out, each subsumed by a retained relative:
 _DEMOTED = (
-    "email_validate",     # r03 green; F4 regex also exercised by email_extract
-    "olc_encode",         # r03 green; F2 geo encode, pure codegen
-    "dedupe_exact",       # r03 green; U2 distinct-on-key, pure codegen
-    "doc_fingerprint",    # r03 green; groupBy-sum fingerprint
-    "quality_score",      # r03 green; pure codegen ratios
-    "lang_id_ngram",      # r03 green; pure codegen n-gram vote
-    "token_counts",       # r03 green; pure codegen tokenizer
-    "multimodal_meta",    # r03 green; byte-level built-ins
+    "email_extract",        # r04 green; F3 regex ⊂ email_writeback's path
+    "json_roundtrip",       # r04 green; F6 ⊂ json_export_roundtrip
+    "regex_token_extract",  # r04 green; ⊂ token_counts (same tokenizer family)
+    "positional_path_parse",  # r04 green; P1 ⊂ json_path_extract + entry_parse
+    "simhash_fingerprint",  # r04 green; ⊂ simhash_hamming_pairs
+    "minhash_signature",    # r04 green; ⊂ minhash_lsh_dedupe
+    "open_hours_days",      # r04 green; F8 ⊂ hours_maps
+    "cleaning_normalize",   # r04 green; P8/P9 ⊂ scalar_normalize family
+    "line_file_scan",       # r04 green; S1 splitter, pure codegen
+    "chunk_assignment",     # r04 green; W1 window ⊂ priority_queue_claim
 )
 
 
@@ -1042,6 +1046,40 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_bytes",
         F.round(F.element_at("feature", 1) * total).cast("long").alias("c0"),
     )
+
+
+@register(
+    "multimodal_decode",
+    """
+    WITH m AS (SELECT unnest(range(200)) AS id),
+    dims AS (SELECT id, 4 + id % 5 AS w, 3 + id % 4 AS h FROM m),
+    px AS (
+      SELECT d.id, d.w, d.h, gx.x, gy.y
+      FROM dims d,
+           LATERAL (SELECT unnest(generate_series(0, d.w - 1)) AS x) gx,
+           LATERAL (SELECT unnest(generate_series(0, d.h - 1)) AS y) gy
+    )
+    SELECT CAST(id AS BIGINT) AS media_id,
+           CAST(MIN(w) AS INTEGER) AS width,
+           CAST(MIN(h) AS INTEGER) AS height,
+           CAST(SUM((id*9176 + x*131 + y*37 + 0*17 + 7) % 256) AS BIGINT) AS b_sum,
+           CAST(SUM((id*9176 + x*131 + y*37 + 1*17 + 7) % 256) AS BIGINT) AS g_sum,
+           CAST(SUM((id*9176 + x*131 + y*37 + 2*17 + 7) % 256) AS BIGINT) AS r_sum
+    FROM px GROUP BY id
+    """,
+)
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode end-to-end (VERDICT r4 #4): synth_bmp_media
+    writes genuine 24-bit BMP bytes (header, BGR, stride padding,
+    bottom-up rows); decode_images parses them back from bytes alone in
+    an Arrow-batched mapInPandas kernel and emits per-image channel
+    sums. The oracle never sees the bytes — it recomputes the sums from
+    the arithmetic pixel function the encoder baked in, so a decoder
+    that shortcuts (reads metadata instead of pixels, ignores padding,
+    mixes up BGR) hash-mismatches."""
+    from etl_gmaps_spark.operators.multimodal import decode_images, synth_bmp_media
+
+    return decode_images(synth_bmp_media(spark, n=200), batch_rows=256, n_rows=200)
 
 
 def _dg_mix2_sql(expr: str, salt: int) -> str:
@@ -2702,6 +2740,64 @@ def ann_ivf_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = assign_cells(e, cents, method="pandas")
     return out.select(F.col("_vid").alias("vec_id"), F.col("cell").alias("cell"))
+
+
+def _ivf_train_oracle() -> str:
+    """Oracle for ivf_train_assign: the sf0.01-trained centroids enter
+    as VALUES literals (plans/ivf_trained.py — committed data, produced
+    by the same trainer the query runs); DuckDB recomputes the E-step
+    (round-4 cosine argmax, ties to smallest cid — the assign_cells
+    contract) and the per-cell counts. Training itself has no SQL
+    oracle; the check works because train_centroids(round_digits=6) is
+    bit-stable across parallelism levels, so the driver-time retrain
+    must reproduce these exact literals for the counts to hash-match."""
+    from etl_gmaps_spark.plans.ivf_trained import IVF_TRAINED_CENTROIDS
+
+    values = ",\n        ".join(
+        f"({cid}, [{', '.join(repr(x) for x in vec)}]::DOUBLE[])"
+        for cid, vec in enumerate(IVF_TRAINED_CENTROIDS)
+    )
+    return f"""
+    WITH c AS (
+      SELECT cid, cv, sqrt(list_dot_product(cv, cv)) AS cn
+      FROM (VALUES
+        {values}
+      ) AS t(cid, cv)
+    ), v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS vv,
+             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS vn
+      FROM embeddings
+    ), assign AS (
+      SELECT vec_id, cid,
+             row_number() OVER (PARTITION BY vec_id
+               ORDER BY round(list_dot_product(vv, cv) / (vn * cn), 4) DESC, cid) AS rn
+      FROM v CROSS JOIN c
+    )
+    SELECT CAST(cid AS BIGINT) AS cell, COUNT(*) AS n_vecs
+    FROM assign WHERE rn = 1 GROUP BY cid
+    """
+
+
+@register("ivf_train_assign", _ivf_train_oracle())
+def ivf_train_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF centroid TRAINING made driver-visible (VERDICT r4 #7):
+    retrains the coarse quantizer from raw embeddings at query time —
+    k-means|| init in one corpus scan, two Lloyd rounds with the
+    shuffle-free assign_cells E-step and a posexplode partial-agg
+    M-step (operators/similarity.py train_centroids) — then assigns the
+    corpus to the trained centroids and emits per-cell counts. The
+    oracle carries the expected centroids as literals (trained once at
+    sf0.01, committed in plans/ivf_trained.py); round_digits=6 training
+    quantization makes the retrain bit-identical across parallelism
+    levels, so any trainer drift flips a cell count and hash-fails."""
+    from etl_gmaps_spark.operators.similarity import assign_cells, train_centroids
+
+    v = _t(spark, sf_dir, "embeddings")
+    cents = train_centroids(v, k=8, n_iter=2, seed=7, round_digits=6)
+    assigned = assign_cells(v, cents, round_digits=4)
+    return assigned.groupBy(F.col("cell").cast("long").alias("cell")).agg(
+        F.count(F.lit(1)).alias("n_vecs")
+    )
 
 
 def _nested_blob_template() -> str:
