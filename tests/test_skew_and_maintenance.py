@@ -159,6 +159,83 @@ def test_tombstone_compaction(spark, tmp_path):
     assert live_before == table.read().count()
 
 
+def test_tombstone_gc_policy(spark, tmp_path):
+    """VERDICT r4 #3: tombstone GC folded into maintain() and driven by
+    the Replayer on a cadence. A delete-heavy replay with the policy on
+    (a) keeps tombstone mass bounded vs the policy-off control, (b)
+    stays oracle-equal, and (c) the lsn guard still rejects stale
+    lower-lsn re-arrivals — both the ledger level (re-replayed epochs)
+    and the row level (surviving tombstones)."""
+    # wide key space, NO hot keys: most deleted keys are never touched
+    # again, so their tombstones age past the low-water mark — the
+    # accumulation shape GC exists for (churny hot keys keep replacing
+    # their own tombstone with a fresh-lsn one; nothing to collect)
+    base = gen_base(spark, n_docs=1000, seed=77)
+    log = gen_changelog(
+        spark, n_docs=1000, n_events=3000, seed=77, epoch_size=300,
+        pct_insert=10, pct_delete=50, hot_frac=0.0, dup_epochs=(),
+    )
+    expected = replay_oracle(base.toPandas(), log.toPandas())
+
+    t_off = SnapshotTable.create(
+        spark, str(tmp_path / "off"), TARGET_SCHEMA, base_df=base, merge_mode="mor"
+    )
+    Replayer(t_off, gc_tombstones=False).run(log)
+
+    t_on = SnapshotTable.create(
+        spark, str(tmp_path / "on"), TARGET_SCHEMA, base_df=base, merge_mode="mor"
+    )
+    rep = Replayer(t_on, gc_every=3, gc_tombstone_ratio=0.1)
+    rep.run(log)
+
+    assert_table_equal(t_on.read(), expected)  # GC never changes live state
+    gc_commits = [c for c in t_on.commit_log() if "gc_tombstones_before" in c]
+    assert gc_commits, "the cadence never fired a GC compaction"
+
+    # bounded: GC-eligible tombstone mass (below the final low-water
+    # mark) is a fraction of what the policy-off replay accumulated —
+    # only post-last-GC epochs and sub-ratio buckets may still hold any
+    lwm = min(int(r["last_lsn"]) for r in t_on.checkpoint_rows())
+    dead_on = t_on.tombstone_stats(before_lsn=lwm)
+    dead_off = t_off.tombstone_stats(before_lsn=lwm)
+    total_off = sum(s["dead"] for s in dead_off.values())
+    total_on = sum(s["dead"] for s in dead_on.values())
+    assert total_off > 0  # the control really is delete-heavy
+    assert total_on < 0.5 * total_off, (total_on, total_off)
+    for b, s in dead_on.items():
+        assert s["dead"] <= dead_off.get(b, {"dead": 0})["dead"]
+
+    # ledger guard: re-replaying the whole (already applied) log is a
+    # wholesale no-op — the only route an event below the GC'd
+    # low-water mark could take back in
+    m2 = Replayer(t_on).run(log)
+    assert m2.epochs_applied == 0
+    assert_table_equal(t_on.read(), expected)
+
+    # row guard: a tombstone that SURVIVED GC still rejects a stale
+    # lower-lsn upsert for its key
+    from pyspark.sql import types as T
+
+    surv = (
+        t_on._reconciled(t_on.snapshot())
+        .filter(F.col("_deleted"))
+        .select("doc_id", "_lsn")
+        .orderBy(F.desc("_lsn"))
+        .limit(1)
+        .collect()
+    )
+    assert surv, "no surviving tombstone to exercise the guard"
+    key, dead_lsn = surv[0]["doc_id"], int(surv[0]["_lsn"])
+    stale = spark.createDataFrame(
+        [(key, "U", dead_lsn - 1, [1, 2], 2, "web")],
+        "doc_id string, op string, lsn long, tokens array<int>, n_tok int, source string",
+    )
+    t_on.merge(stale, epoch=None)
+    assert t_on.read().filter(F.col("doc_id") == key).count() == 0, (
+        "stale upsert resurrected a tombstoned key"
+    )
+
+
 def test_iceberg_sql_parses_with_spark_parser(spark):
     """The IcebergTable portability shim cannot EXECUTE in-sandbox (no
     iceberg-spark-runtime jar), but its generated SQL can be verified
