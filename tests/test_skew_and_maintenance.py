@@ -312,3 +312,33 @@ def test_iceberg_end_to_end_when_runtime_present(spark, tmp_path):
         timeout=600,
     )
     assert "ICEBERG VERIFY: PASS" in res.stdout, res.stdout + res.stderr
+
+
+def test_iceberg_verify_harness_is_live():
+    """VERDICT r4 #5 fallback evidence: the verify harness genuinely
+    ATTEMPTS Iceberg statements. With the availability gate bypassed
+    (ICEBERG_FORCE=1) on this jar-less classpath, the FIRST Iceberg
+    statement must fail loudly — catalog plugin class not found — and
+    the script must exit non-zero with no PASS line. A harness that
+    reached PASS here would be vacuous; one that exited 0/2 would mean
+    the gate, not the jar, is what blocks tools/RUN_ME_OFF_SANDBOX.md.
+    Spins a private JVM (the forced catalog conf must not poison the
+    shared session), ~60 s."""
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ, ICEBERG_FORCE="1")
+    res = subprocess.run(
+        [sys.executable, "tools/verify_iceberg.py"],
+        capture_output=True,
+        text=True,
+        cwd=repo,
+        env=env,
+        timeout=600,
+    )
+    assert res.returncode not in (0, 2), (res.returncode, res.stdout[-500:])
+    assert "ICEBERG VERIFY: PASS" not in res.stdout
+    err = res.stderr + res.stdout
+    assert "Cannot find catalog plugin" in err or "ClassNotFound" in err, err[-800:]

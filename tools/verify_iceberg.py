@@ -72,7 +72,12 @@ def main() -> int:
     from etl_gmaps_spark.tableio.iceberg_table import IcebergTable, iceberg_available
     from etl_gmaps_spark.tableio.snapshot_table import SnapshotTable
 
-    if not iceberg_available(spark):
+    # ICEBERG_FORCE=1 bypasses the availability gate so the harness can
+    # PROVE it is live: on a jar-less classpath the very first Iceberg
+    # statement must fail loudly (catalog plugin class not found) — a
+    # harness that reached PASS without the jar would be vacuous. The
+    # jar-gated pytest delegate asserts exactly this failure mode.
+    if not os.environ.get("ICEBERG_FORCE") and not iceberg_available(spark):
         print(
             "ICEBERG VERIFY: SKIP — runtime jar not on classpath. "
             "Launch via spark-submit --packages "
