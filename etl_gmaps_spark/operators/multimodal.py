@@ -207,10 +207,13 @@ def _decode_bmp(payload: bytes) -> tuple[int, int, int, int, int]:
     return w, h, sums[0], sums[1], sums[2]
 
 
-def synth_bmp_media(spark, n: int = 200) -> DataFrame:
+def synth_bmp_media(spark, n: int = 200, batch_rows: int = 256) -> DataFrame:
     """Deterministic table of REAL BMP payloads (see _encode_bmp).
-    Dimensions vary per row: w in 4..8, h in 3..6."""
-    dims = spark.range(n).select(
+    Dimensions vary per row: w in 4..8, h in 3..6. The range is sized
+    to ceil(n / batch_rows) partitions up front — the ENCODE stage is
+    mapInPandas too, so defaulting to core-count partitions would spawn
+    ~cores Python workers for a few hundred tiny rows."""
+    dims = spark.range(n, numPartitions=max(1, -(-n // batch_rows))).select(
         F.col("id").alias("media_id"),
         (F.lit(4) + F.pmod("id", F.lit(5))).cast("int").alias("width"),
         (F.lit(3) + F.pmod("id", F.lit(4))).cast("int").alias("height"),

@@ -1191,6 +1191,37 @@ def _engine_e2e_sql(
 _ENGINE_CACHE: dict[tuple, object] = {}
 
 
+from contextlib import contextmanager
+
+
+@contextmanager
+def _scoped_shuffle(spark: SparkSession, n: int, adaptive: bool = False):
+    """Right-size execution for the toy e2e fixtures (1.5-5k-row logs,
+    4 buckets). Two session defaults are tuned for sf-scale scans and
+    are pure overhead at fixture size:
+      * shuffle.partitions = core count → every groupBy/join stage
+        launches ~cores reducer tasks for a few thousand rows (AQE's
+        parallelismFirst keeps them); n=bucket-count is the data-volume
+        sizing rule the engine documents everywhere else.
+      * AQE per-stage runtime re-optimization → ~0.3 s/stage of driver
+        re-planning that can never pay for itself on a 1.5k-row stage
+        (measured A/B: fixture total 5.7-7.1 s with AQE vs 4.9-5.4
+        without, same window).
+    Both restored on exit — sf-scale catalog queries and the replay
+    hot path keep the session defaults (AQE on, partitions=cores)."""
+    olds = {
+        k: spark.conf.get(k)
+        for k in ("spark.sql.shuffle.partitions", "spark.sql.adaptive.enabled")
+    }
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    spark.conf.set("spark.sql.adaptive.enabled", str(adaptive).lower())
+    try:
+        yield
+    finally:
+        for k, v in olds.items():
+            spark.conf.set(k, v)
+
+
 def _engine_table(
     spark: SparkSession,
     n_docs: int,
@@ -1229,10 +1260,18 @@ def _engine_table(
         spark, n_docs=n_docs, n_events=n_events, seed=seed,
         epoch_size=epoch_size, dup_epochs=tuple(dup_epochs), partitions=4,
     )
-    table = SnapshotTable.create(
-        spark, f"{wd}/tbl", TARGET_SCHEMA, n_buckets=n_buckets, base_df=base
-    )
-    Replayer(table).run(log)
+    with _scoped_shuffle(spark, n_buckets):
+        # materialize the toy log once: every downstream job (stats agg,
+        # winner semi-join, merge) otherwise re-analyzes and re-compiles
+        # the full datagen expression tree per epoch slice — at fixture
+        # size the janino compile dwarfs the 5k rows (measured ~0.5 s
+        # per run); a parquet-backed scan keeps the plans small, exactly
+        # like the real log the engine tails in production
+        log.write.mode("overwrite").parquet(f"{wd}/log")
+        table = SnapshotTable.create(
+            spark, f"{wd}/tbl", TARGET_SCHEMA, n_buckets=n_buckets, base_df=base
+        )
+        Replayer(table).run(spark.read.parquet(f"{wd}/log"))
     _ENGINE_CACHE[key] = table
     return table
 
@@ -2015,12 +2054,13 @@ def stream_replay_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     # tests/test_stream_replay.py
     log = gen_changelog(spark, n_docs=300, n_events=3000, seed=7, epoch_size=1500, partitions=4)
     log_dir = f"{wd}/log"
-    log.write.mode("overwrite").parquet(log_dir)
-    table = SnapshotTable.create(spark, f"{wd}/tbl", TARGET_SCHEMA, n_buckets=4, base_df=base)
-    run_availablenow(
-        spark, log_dir, table, checkpoint_dir=f"{wd}/ckpt",
-        schema=spark.read.parquet(log_dir).schema,
-    )
+    with _scoped_shuffle(spark, 4):
+        log.write.mode("overwrite").parquet(log_dir)
+        table = SnapshotTable.create(spark, f"{wd}/tbl", TARGET_SCHEMA, n_buckets=4, base_df=base)
+        run_availablenow(
+            spark, log_dir, table, checkpoint_dir=f"{wd}/ckpt",
+            schema=spark.read.parquet(log_dir).schema,
+        )
     return table.read().select(
         "doc_id",
         "n_tok",
@@ -2054,10 +2094,15 @@ def schema_evolution_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, n_docs=300, n_events=3000, seed=9, epoch_size=1500, evolve_at=1500,
         dup_epochs=(), partitions=4,
     )
-    table = SnapshotTable.create(spark, f"{wd}/tbl", TARGET_SCHEMA, n_buckets=4, base_df=base)
-    r = Replayer(table)
-    r.apply_batch(log.filter(F.col("epoch") == 0).drop("lang"), epoch=0)
-    r.apply_batch(log.filter(F.col("epoch") == 1), epoch=1)
+    with _scoped_shuffle(spark, 4):
+        # materialized once for the same reason as _engine_table: the
+        # per-epoch slices otherwise recompile the datagen tree per job
+        log.write.mode("overwrite").parquet(f"{wd}/log")
+        log = spark.read.parquet(f"{wd}/log")
+        table = SnapshotTable.create(spark, f"{wd}/tbl", TARGET_SCHEMA, n_buckets=4, base_df=base)
+        r = Replayer(table)
+        r.apply_batch(log.filter(F.col("epoch") == 0).drop("lang"), epoch=0)
+        r.apply_batch(log.filter(F.col("epoch") == 1), epoch=1)
     return table.read().select(
         "doc_id",
         "n_tok",
@@ -2793,7 +2838,11 @@ def ivf_train_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_gmaps_spark.operators.similarity import assign_cells, train_centroids
 
     v = _t(spark, sf_dir, "embeddings")
-    cents = train_centroids(v, k=8, n_iter=2, seed=7, round_digits=6)
+    # scoped shuffle: training is ~5 tiny jobs over a few-thousand-row
+    # corpus; results are invariant to it (round_digits=6 quantizes the
+    # M-step sums — verified bit-identical across parallelism levels)
+    with _scoped_shuffle(spark, 8):
+        cents = train_centroids(v, k=8, n_iter=2, seed=7, round_digits=6)
     assigned = assign_cells(v, cents, round_digits=4)
     return assigned.groupBy(F.col("cell").cast("long").alias("cell")).agg(
         F.count(F.lit(1)).alias("n_vecs")
