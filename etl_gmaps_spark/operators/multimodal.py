@@ -274,6 +274,156 @@ def decode_images(media: DataFrame, batch_rows: int | None = None, n_rows: int |
     return src.mapInPandas(decode, schema=DECODE_SCHEMA)
 
 
+# ---------------------------------------------------------------------
+# Real AUDIO decode path: RIFF/WAVE PCM-16, the audio analog of the BMP
+# kernel above — RIFF chunk walking (unknown chunks skipped, odd-size
+# padding honored), fmt validation (PCM, 16-bit), interleaved
+# little-endian frame deinterleaving, all from bytes alone. Sample
+# values are a pure arithmetic function of (media_id, channel, frame)
+# so the SQL oracle recomputes the decoded per-channel sums without
+# seeing the bytes.
+# ---------------------------------------------------------------------
+
+WAV_DECODE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("n_channels", T.IntegerType(), True),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("n_frames", T.IntegerType(), True),
+        T.StructField("ch0_sum", T.LongType(), True),
+        T.StructField("ch1_sum", T.LongType(), True),
+    ]
+)
+
+
+def _sample_value(media_id: int, ch: int, i: int) -> int:
+    """Deterministic signed 16-bit PCM sample; ANSI-safe arithmetic."""
+    return (media_id * 7919 + ch * 211 + i * 97 + 13) % 65536 - 32768
+
+
+def _encode_wav(media_id: int, n_ch: int, rate: int, n_frames: int) -> bytes:
+    """A real RIFF/WAVE PCM-16 file: fmt chunk + interleaved LE int16
+    data chunk. Every 5th file also carries a LIST chunk BEFORE fmt so
+    decoders that assume fixed offsets (instead of walking chunks)
+    break loudly in tests."""
+    import struct
+
+    frames = bytearray()
+    for i in range(n_frames):
+        for ch in range(n_ch):
+            frames += struct.pack("<h", _sample_value(media_id, ch, i))
+    fmt = struct.pack("<HHIIHH", 1, n_ch, rate, rate * n_ch * 2, n_ch * 2, 16)
+    chunks = bytearray()
+    if media_id % 5 == 0:
+        info = b"INFOjunk-metadata"  # odd length: exercises pad byte
+        chunks += b"LIST" + len(info).to_bytes(4, "little") + info
+        if len(info) % 2:
+            chunks += b"\x00"
+    chunks += b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+    chunks += b"data" + len(frames).to_bytes(4, "little") + bytes(frames)
+    if len(frames) % 2:
+        chunks += b"\x00"
+    return b"RIFF" + (4 + len(chunks)).to_bytes(4, "little") + b"WAVE" + bytes(chunks)
+
+
+def _decode_wav(payload: bytes) -> tuple[int, int, int, int, int | None]:
+    """Parse RIFF/WAVE PCM-16 from bytes alone: returns (n_channels,
+    sample_rate, n_frames, ch0_sum, ch1_sum|None). Walks the chunk list
+    (skipping unknown chunks, honoring odd-size padding) and raises on
+    anything that is not the format it claims."""
+    import struct
+
+    if payload is None or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, end = 12, 8 + int.from_bytes(payload[4:8], "little")
+    fmt = data = None
+    while pos + 8 <= min(end, len(payload)):
+        cid = payload[pos : pos + 4]
+        size = int.from_bytes(payload[pos + 4 : pos + 8], "little")
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size % 2)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt or data chunk")
+    audio_format, n_ch, rate, _, block_align, bits = fmt
+    if audio_format != 1 or bits != 16:
+        raise ValueError(f"unsupported WAV: format={audio_format} bits={bits}")
+    n_frames = len(data) // block_align
+    samples = struct.unpack(f"<{n_frames * n_ch}h", data[: n_frames * n_ch * 2])
+    ch0 = sum(samples[0::n_ch])
+    ch1 = sum(samples[1::n_ch]) if n_ch > 1 else None
+    return n_ch, rate, n_frames, ch0, ch1
+
+
+def synth_wav_media(spark, n: int = 200, batch_rows: int = 256) -> DataFrame:
+    """Deterministic table of REAL WAV payloads (see _encode_wav):
+    mono/stereo alternating, 8/12/16 kHz, 50..113 frames."""
+    dims = spark.range(n, numPartitions=max(1, -(-n // batch_rows))).select(
+        F.col("id").alias("media_id"),
+        (F.lit(1) + F.pmod("id", F.lit(2))).cast("int").alias("n_channels"),
+        (F.lit(8000) + F.pmod("id", F.lit(3)) * 4000).cast("int").alias("sample_rate"),
+        (F.lit(50) + F.pmod("id", F.lit(64))).cast("int").alias("n_frames"),
+    )
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": [
+                        _encode_wav(int(i), int(c), int(r), int(f))
+                        for i, c, r, f in zip(
+                            pdf["media_id"], pdf["n_channels"],
+                            pdf["sample_rate"], pdf["n_frames"],
+                        )
+                    ],
+                    "media_type": "audio",
+                }
+            )
+
+    return dims.mapInPandas(
+        encode,
+        schema=T.StructType(
+            [
+                T.StructField("media_id", T.LongType(), False),
+                T.StructField("payload", T.BinaryType(), True),
+                T.StructField("media_type", T.StringType(), True),
+            ]
+        ),
+    )
+
+
+def decode_audio(media: DataFrame, batch_rows: int | None = None, n_rows: int | None = None) -> DataFrame:
+    """REAL audio decode over mapInPandas: parses each binary payload as
+    RIFF/WAVE PCM-16 and emits per-file channel aggregates. Same Arrow
+    plumbing as decode_images; see _decode_wav for the parsing."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            decoded = [_decode_wav(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "n_channels": [d[0] for d in decoded],
+                    "sample_rate": [d[1] for d in decoded],
+                    "n_frames": [d[2] for d in decoded],
+                    "ch0_sum": [d[3] for d in decoded],
+                    "ch1_sum": pd.array([d[4] for d in decoded], dtype="Int64"),
+                }
+            )
+
+    src = media.select("media_id", "payload")
+    if batch_rows:
+        n = n_rows if n_rows is not None else src.count()
+        target = max(1, -(-n // batch_rows))
+        if target < src.rdd.getNumPartitions():
+            src = src.coalesce(target)
+    return src.mapInPandas(decode, schema=WAV_DECODE_SCHEMA)
+
+
 def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
     """Resize plumbing: filters to images, validates metadata JVM-side,
     and passes batches through the (stubbed) kernel which raises — the

@@ -605,10 +605,12 @@ def lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
 # past the window SWAPS each round — no entry goes two consecutive
 # rounds without a driver-green row. Round 5 promotes the eight entries
 # demoted in round 4 (driver-green r03, judge-checked r04) back into the
-# window; the catalog grew to 60 (multimodal_decode, ivf_train_assign —
-# both new, so both IN the window for their first driver row), so TEN
-# r04-green entries rotate out, each subsumed by a retained relative:
+# window; the catalog grew to 61 (multimodal_decode,
+# multimodal_audio_decode, ivf_train_assign — all new, so all IN the
+# window for their first driver row), so ELEVEN r04-green entries
+# rotate out, each subsumed by a retained relative:
 _DEMOTED = (
+    "top5_langs",           # r04 green; A4 top-5 ⊂ summary_stats_by_source
     "email_extract",        # r04 green; F3 regex ⊂ email_writeback's path
     "json_roundtrip",       # r04 green; F6 ⊂ json_export_roundtrip
     "regex_token_extract",  # r04 green; ⊂ token_counts (same tokenizer family)
@@ -1080,6 +1082,40 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_gmaps_spark.operators.multimodal import decode_images, synth_bmp_media
 
     return decode_images(synth_bmp_media(spark, n=200), batch_rows=256, n_rows=200)
+
+
+@register(
+    "multimodal_audio_decode",
+    """
+    WITH m AS (SELECT unnest(range(200)) AS id),
+    p AS (SELECT id, 1 + id % 2 AS nch, 8000 + (id % 3) * 4000 AS rate,
+                 50 + id % 64 AS nf FROM m),
+    fr AS (
+      SELECT p.id, p.nch, p.rate, p.nf, g.i
+      FROM p, LATERAL (SELECT unnest(generate_series(0, p.nf - 1)) AS i) g
+    )
+    SELECT CAST(id AS BIGINT) AS media_id,
+           CAST(MIN(nch) AS INTEGER) AS n_channels,
+           CAST(MIN(rate) AS INTEGER) AS sample_rate,
+           CAST(MIN(nf) AS INTEGER) AS n_frames,
+           CAST(SUM((id*7919 + i*97 + 13) % 65536 - 32768) AS BIGINT) AS ch0_sum,
+           CAST(CASE WHEN MIN(nch) > 1
+                     THEN SUM((id*7919 + 211 + i*97 + 13) % 65536 - 32768)
+                END AS BIGINT) AS ch1_sum
+    FROM fr GROUP BY id
+    """,
+)
+def multimodal_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode end-to-end, the WAV sibling of
+    multimodal_decode: synth_wav_media writes genuine RIFF/WAVE PCM-16
+    bytes (fmt chunk, interleaved LE frames, a LIST junk chunk on every
+    5th file so fixed-offset shortcuts break); decode_audio walks the
+    chunk list from bytes alone and emits per-channel sample sums. The
+    oracle recomputes the sums from the arithmetic sample function the
+    encoder baked in; mono files carry a NULL ch1_sum in both engines."""
+    from etl_gmaps_spark.operators.multimodal import decode_audio, synth_wav_media
+
+    return decode_audio(synth_wav_media(spark, n=200), batch_rows=256, n_rows=200)
 
 
 def _dg_mix2_sql(expr: str, salt: int) -> str:

@@ -191,6 +191,49 @@ def test_bmp_decode_real_kernel(spark):
         assert (r["width"], r["height"], r["b_sum"], r["g_sum"], r["r_sum"]) == k
 
 
+def test_wav_decode_real_kernel(spark):
+    """The audio sibling of the BMP test: RIFF chunk walking (junk LIST
+    chunk skipped, odd-size padding honored), PCM-16 deinterleaving,
+    malformed/unsupported rejection, Spark plumbing agreement."""
+    import pytest
+
+    from etl_gmaps_spark.operators.multimodal import (
+        _decode_wav,
+        _encode_wav,
+        _sample_value,
+        decode_audio,
+        synth_wav_media,
+    )
+
+    # id=5: stereo AND carries the LIST junk chunk before fmt — a
+    # fixed-offset parser (not a chunk walker) reads garbage here
+    got = _decode_wav(_encode_wav(5, 2, 16000, 55))
+    want = tuple(sum(_sample_value(5, ch, i) for i in range(55)) for ch in (0, 1))
+    assert got == (2, 16000, 55, *want)
+    # mono: ch1 is None, not 0
+    assert _decode_wav(_encode_wav(4, 1, 12000, 54))[4] is None
+
+    with pytest.raises(ValueError, match="not a RIFF/WAVE"):
+        _decode_wav(b"OGGSjunkjunkjunk")
+    import struct
+
+    bad = bytearray(_encode_wav(1, 2, 12000, 51))
+    fmt_at = bytes(bad).index(b"fmt ") + 8
+    bad[fmt_at : fmt_at + 2] = struct.pack("<H", 3)  # IEEE float, not PCM
+    with pytest.raises(ValueError, match="unsupported"):
+        _decode_wav(bytes(bad))
+
+    out = {
+        r["media_id"]: r
+        for r in decode_audio(synth_wav_media(spark, n=24), batch_rows=8, n_rows=24).collect()
+    }
+    assert len(out) == 24
+    for i in (0, 5, 23):
+        k = _decode_wav(_encode_wav(i, 1 + i % 2, 8000 + (i % 3) * 4000, 50 + i % 64))
+        r = out[i]
+        assert (r["n_channels"], r["sample_rate"], r["n_frames"], r["ch0_sum"], r["ch1_sum"]) == k
+
+
 def test_banded_lsh_planted_recall(spark):
     """At-scale LSH sizing evidence (VERDICT r1 #10): on a corpus where
     a 16-bucket (4-plane) LSH would degenerate, 12 planes x 4 bands
