@@ -77,6 +77,49 @@ def test_mor_uniform_batch_write_amplification(spark, tmp_path):
     assert_table_equal(mor.read(), cow.read().toPandas())
 
 
+def test_maintenance_plan_uses_manifest_sizes(spark, tmp_path, monkeypatch):
+    """r4 watch item: manifests cache per-file sizes at write time, so
+    maintenance_plan is a pure manifest walk — zero os.stat calls at
+    10^5-bucket scale. Proven by making getsize explode: the plan must
+    still produce the same answer. Legacy entries (no size keys) fall
+    back to stat."""
+    base = gen_base(spark, n_docs=100, seed=31)
+    log = gen_changelog(spark, n_docs=100, n_events=1000, seed=31, epoch_size=250, dup_epochs=())
+    table = SnapshotTable.create(
+        spark, str(tmp_path / "t"), TARGET_SCHEMA, base_df=base, merge_mode="mor"
+    )
+    Replayer(table, auto_compact=False, gc_tombstones=False).run(log)
+
+    resolved = table._resolve(table.snapshot())
+    dirty = [e for e in resolved.values() if e.get("deltas")]
+    assert dirty, "fixture produced no delta chains"
+    for e in dirty:  # sizes cached at write time, and accurate
+        assert e["delta_sizes"] == [os.path.getsize(f) for f in e["deltas"]]
+        assert e["base_sizes"] == [os.path.getsize(f) for f in e["base"]]
+
+    want = table.maintenance_plan(max_chain=2)
+
+    import etl_gmaps_spark.tableio.snapshot_table as st_mod
+
+    def boom(_path):
+        raise AssertionError("maintenance_plan called os.stat despite cached sizes")
+
+    monkeypatch.setattr(st_mod.os.path, "getsize", boom)
+    assert table.maintenance_plan(max_chain=2) == want
+    monkeypatch.undo()
+
+    # legacy manifests (pre-size entries) still work via the stat path
+    m_path = table.snapshot()["manifests"][-1]
+    m = json.load(open(m_path))
+    for e in m["buckets"].values():
+        e.pop("base_sizes", None)
+        e.pop("delta_sizes", None)
+    with open(m_path, "w") as fh:
+        json.dump(m, fh)
+    table._manifest_cache.clear()
+    assert table.maintenance_plan(max_chain=2) == want
+
+
 def test_mor_compact_folds_deltas(spark, tmp_path):
     base = gen_base(spark, n_docs=200, seed=3)
     log = gen_changelog(spark, n_docs=200, n_events=2000, seed=3, epoch_size=500)
