@@ -605,11 +605,12 @@ def lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
 # past the window SWAPS each round — no entry goes two consecutive
 # rounds without a driver-green row. Round 5 promotes the eight entries
 # demoted in round 4 (driver-green r03, judge-checked r04) back into the
-# window; the catalog grew to 61 (multimodal_decode,
-# multimodal_audio_decode, ivf_train_assign — all new, so all IN the
-# window for their first driver row), so ELEVEN r04-green entries
-# rotate out, each subsumed by a retained relative:
+# window; the catalog grew to 62 (multimodal_decode,
+# multimodal_audio_decode, multimodal_resize, ivf_train_assign — all
+# new, so all IN the window for their first driver row), so TWELVE
+# r04-green entries rotate out, each subsumed by a retained relative:
 _DEMOTED = (
+    "q1_pricing_summary",   # r04 green; generic TPC-H warmup, no §2 row
     "top5_langs",           # r04 green; A4 top-5 ⊂ summary_stats_by_source
     "email_extract",        # r04 green; F3 regex ⊂ email_writeback's path
     "json_roundtrip",       # r04 green; F6 ⊂ json_export_roundtrip
@@ -1116,6 +1117,48 @@ def multimodal_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_gmaps_spark.operators.multimodal import decode_audio, synth_wav_media
 
     return decode_audio(synth_wav_media(spark, n=200), batch_rows=256, n_rows=200)
+
+
+@register(
+    "multimodal_resize",
+    """
+    WITH m AS (SELECT unnest(range(200)) AS id),
+    dims AS (SELECT id, 4 + id % 5 AS w, 3 + id % 4 AS h FROM m),
+    px AS (
+      SELECT d.id, (gx.x * d.w) // 6 AS sx, (gy.y * d.h) // 5 AS sy
+      FROM dims d,
+           LATERAL (SELECT unnest(generate_series(0, 5)) AS x) gx,
+           LATERAL (SELECT unnest(generate_series(0, 4)) AS y) gy
+    )
+    SELECT CAST(id AS BIGINT) AS media_id,
+           CAST(6 AS INTEGER) AS width,
+           CAST(5 AS INTEGER) AS height,
+           CAST(SUM((id*9176 + sx*131 + sy*37 + 7) % 256) AS BIGINT) AS b_sum,
+           CAST(SUM((id*9176 + sx*131 + sy*37 + 17 + 7) % 256) AS BIGINT) AS g_sum,
+           CAST(SUM((id*9176 + sx*131 + sy*37 + 34 + 7) % 256) AS BIGINT) AS r_sum
+    FROM px GROUP BY id
+    """,
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image resize end-to-end: synth_bmp_media writes genuine
+    BMPs; resize_images decodes the full raster, resamples it in numpy
+    (nearest: src = (dst*src_dim)//dst_dim), and RE-ENCODES a genuine
+    BMP; decode_images then parses the resized bytes back — the byte
+    format is exercised twice per row. The oracle recomputes the
+    resized channel sums by applying the same nearest-neighbor index
+    mapping to the arithmetic pixel function the encoder baked in, so a
+    resizer that shortcuts (metadata-only, wrong sampling grid, channel
+    mixups, broken re-encode padding) hash-mismatches."""
+    from etl_gmaps_spark.operators.multimodal import (
+        decode_images,
+        resize_images,
+        synth_bmp_media,
+    )
+
+    resized = resize_images(
+        synth_bmp_media(spark, n=200), 6, 5, method="nearest", batch_rows=256, n_rows=200
+    )
+    return decode_images(resized)
 
 
 def _dg_mix2_sql(expr: str, salt: int) -> str:

@@ -133,7 +133,9 @@ def test_multimodal_features_and_frames(spark):
     f = frames.collect()
     assert len(f) > 0 and all(r["frame_ts_ms"] == r["frame_idx"] * 1000 for r in f)
 
-    with pytest.raises(Exception, match="NotImplementedError|not available"):
+    # honesty: the real resize kernel refuses payloads that are not the
+    # raster format it claims to parse (synth_media blobs are not BMPs)
+    with pytest.raises(Exception, match="not a BMP"):
         resize_images(media, 64, 64).collect()
 
 
@@ -189,6 +191,71 @@ def test_bmp_decode_real_kernel(spark):
         k = _decode_bmp(_encode_bmp(i, kw, kh))
         r = out[i]
         assert (r["width"], r["height"], r["b_sum"], r["g_sum"], r["r_sum"]) == k
+
+
+def test_bmp_resize_real_kernel(spark):
+    """The resize path is a REAL kernel: full-raster decode, numpy
+    resampling (nearest + bilinear), genuine BMP re-encode — verified
+    pixel-by-pixel against the source pixel function, by the bilinear
+    identity property, and through the Spark resize→decode round-trip."""
+    import numpy as np
+
+    from etl_gmaps_spark.operators.multimodal import (
+        _decode_bmp,
+        _decode_bmp_pixels,
+        _encode_bmp,
+        _encode_bmp_from_pixels,
+        _pixel_value,
+        _resize_pixels,
+        decode_images,
+        resize_images,
+        synth_bmp_media,
+    )
+
+    # raster decode recovers the exact pixel function in image
+    # orientation (row 0 = top), then re-encode round-trips the bytes
+    w, h = 5, 3
+    blob = _encode_bmp(9, w, h)
+    px = _decode_bmp_pixels(blob)
+    assert px.shape == (h, w, 3)
+    for y, x, c in ((0, 0, 0), (2, 4, 1), (1, 3, 2)):
+        assert px[y, x, c] == _pixel_value(9, x, y, c)
+    assert _encode_bmp_from_pixels(px) == blob
+
+    # nearest: every output pixel equals the source pixel at the
+    # documented integer mapping (upscale 5x3 -> 10x6)
+    out = _resize_pixels(px, 10, 6, "nearest")
+    for y in range(6):
+        for x in range(10):
+            sx, sy = (x * w) // 10, (y * h) // 6
+            assert tuple(out[y, x]) == tuple(int(px[sy, sx, c]) for c in range(3))
+
+    # bilinear: exact identity at unchanged size; constant image stays
+    # constant at any size (interpolation weights sum to 1)
+    assert np.array_equal(_resize_pixels(px, w, h, "bilinear"), px)
+    const = np.full((4, 7, 3), 123, dtype=np.uint8)
+    assert np.all(_resize_pixels(const, 5, 9, "bilinear") == 123)
+
+    # Spark plumbing: resize -> decode round-trip exercises the byte
+    # format twice; sums must match the kernel-level recompute
+    resized = resize_images(synth_bmp_media(spark, n=24), 6, 5, batch_rows=8, n_rows=24)
+    out_rows = {r["media_id"]: r for r in decode_images(resized).collect()}
+    assert len(out_rows) == 24
+    for i in (0, 7, 23):
+        kw, kh = 4 + i % 5, 3 + i % 4
+        k = _decode_bmp(
+            _encode_bmp_from_pixels(
+                _resize_pixels(_decode_bmp_pixels(_encode_bmp(i, kw, kh)), 6, 5, "nearest")
+            )
+        )
+        r = out_rows[i]
+        assert (r["width"], r["height"], r["b_sum"], r["g_sum"], r["r_sum"]) == k
+
+    # unknown method and non-BMP payloads raise
+    import pytest
+
+    with pytest.raises(ValueError, match="unknown resize method"):
+        _resize_pixels(px, 2, 2, "lanczos")
 
 
 def test_wav_decode_real_kernel(spark):
