@@ -5,9 +5,9 @@
 # every raw measurement is published. Kill with: touch BENCH/HUNT_STOP
 cd /root/repo
 LEDGER=BENCH/scaling_runs_r05.jsonl
-run() { # mode n_execs
-  echo "[$(date -u +%H:%M:%S)] launch $1 ${2}x"
-  BENCH_MERGE_MODE=$1 python bench/scaling.py launch "$2" 64000000 "$LEDGER" \
+run() { # mode n_execs [n_events]
+  echo "[$(date -u +%H:%M:%S)] launch $1 ${2}x ${3:-64000000}"
+  BENCH_MERGE_MODE=$1 python bench/scaling.py launch "$2" "${3:-64000000}" "$LEDGER" \
     >/dev/null 2>&1
 }
 cycle=0
@@ -21,7 +21,11 @@ while [ ! -f BENCH/HUNT_STOP ]; do
   run mor 1; [ -f BENCH/HUNT_STOP ] && break
   if [ $((cycle % 2)) -eq 1 ]; then
     run cow 2; [ -f BENCH/HUNT_STOP ] && break
-    run cow 8
+    run cow 8; [ -f BENCH/HUNT_STOP ] && break
   fi
+  # weak-scaling (Gustafson) points: 1 exec at 1/4 the events — equal
+  # per-executor work vs the 4-exec 64M launches above
+  run cow 1 16000000; [ -f BENCH/HUNT_STOP ] && break
+  run mor 1 16000000
 done
 echo "[$(date -u +%H:%M:%S)] hunt stopped after $cycle cycle(s)"
