@@ -207,7 +207,9 @@ def weak_report(argv: list[str]) -> None:
 | 4 executors x {CORES_PER_EXEC} cores | {big:,} | {t_4n['replay_sec']} | {t_4n['events_per_sec']:,.0f} | {t_4n['final_rows']:,} |
 
 **Weak-scaling efficiency = {t_n['replay_sec']} / {t_4n['replay_sec']} = {eff:.3f}**
-(1.0 = perfect: 4x executors absorb 4x events in identical wall time).
+(1.0 = perfect: 4x executors absorb 4x events in identical wall time;
+a value above 1 means the 4-executor level was FASTER than the
+1-executor quarter-work run — the claim to read is min(1, E)).
 Raw 1-executor {small // 1000000}M launches: {raw_small}; the 4-executor
 {big // 1000000}M minimum is the strong pair's.
 """
