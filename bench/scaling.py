@@ -163,6 +163,42 @@ def launch_one(argv: list[str]) -> None:
                       "events_per_sec": res["events_per_sec"]}))
 
 
+# BENCH/BASELINE.md layout: [CoW strong head][mor section][weak section],
+# each optional tail delimited by its marker, in this canonical order.
+_SECTION_ORDER = ("mor", "weak")
+
+
+def _marker(name: str) -> str:
+    return f"\n<!-- scaling:{name} -->\n"
+
+
+def _split_report(body: str) -> tuple[str, dict[str, str]]:
+    """Split BASELINE.md into (head, {section_name: content}) so any one
+    writer can replace its own piece without truncating the others
+    (the old split-at-my-marker logic deleted every section AFTER the
+    marker: a CoW strong rewrite erased mor+weak, a mor rewrite erased
+    weak)."""
+    pos = sorted(
+        (body.index(_marker(n)), n) for n in _SECTION_ORDER if _marker(n) in body
+    )
+    head = body[: pos[0][0]] if pos else body
+    sections = {}
+    for i, (p, name) in enumerate(pos):
+        end = pos[i + 1][0] if i + 1 < len(pos) else len(body)
+        sections[name] = body[p + len(_marker(name)) : end]
+    return head, sections
+
+
+def _write_report(out_path: str, head: str | None = None, updates: dict | None = None) -> None:
+    body = open(out_path).read() if os.path.exists(out_path) else ""
+    cur_head, sections = _split_report(body)
+    if head is not None:
+        cur_head = head
+    sections.update(updates or {})
+    with open(out_path, "w") as fh:
+        fh.write(cur_head + "".join(_marker(n) + sections[n] for n in _SECTION_ORDER if n in sections))
+
+
 def weak_report(argv: list[str]) -> None:
     """Weak-scaling (Gustafson) section from the launch ledger:
     ``python bench/scaling.py weak LEDGER [big_events]``.
@@ -216,10 +252,8 @@ Raw 1-executor {small // 1000000}M launches: {raw_small}; the 4-executor
         )
     if not sections:
         raise SystemExit(f"ledger {ledger} has no weak-scaling level pairs yet")
-    marker = "\n<!-- scaling:weak -->\n"
     section = (
-        marker
-        + f"""# Weak scaling (Gustafson) — same ledger, data grows with the cluster
+        f"""# Weak scaling (Gustafson) — same ledger, data grows with the cluster
 
 The strong-scaling pairs above hold the {big:,}-event log fixed and
 shrink the cluster 4x; this section holds WORK PER EXECUTOR fixed:
@@ -235,11 +269,7 @@ batch size it bounds below the strong pair's Amdahl ceiling.
         + "\n".join(sections)
     )
     out_path = os.path.join(REPO, "BENCH", "BASELINE.md")
-    body = open(out_path).read() if os.path.exists(out_path) else ""
-    if marker in body:
-        body = body.split(marker)[0]
-    with open(out_path, "w") as fh:
-        fh.write(body + section)
+    _write_report(out_path, updates={"weak": section})
     print(f"wrote weak-scaling section -> {out_path}")
 
 
@@ -390,17 +420,15 @@ metric-shopping):
     out_path = os.path.join(REPO, "BENCH", "BASELINE.md")
     os.makedirs(os.path.dirname(out_path), exist_ok=True)
     if mode == "cow":
-        with open(out_path, "w") as fh:
-            fh.write(md)
+        # head rewrite only: the mor and weak sections survive
+        _write_report(out_path, head=md)
     else:
         # VERDICT r3 #3: the merge-on-read pair publishes INTO the same
         # report (MoR is the at-scale default; its scaling claim should
         # sit next to CoW's). A mor-mode run appends its section after
         # the CoW body, replacing any earlier mor section.
-        marker = f"\n<!-- scaling:{mode} -->\n"
         section = (
-            marker
-            + f"""# Merge-on-read ({mode}) scaling pair — same protocol, same log
+            f"""# Merge-on-read ({mode}) scaling pair — same protocol, same log
 
 Identical launches with `BENCH_MERGE_MODE={mode}`: the timed replay
 writes per-bucket DELTA files per commit (never reads the target);
@@ -418,11 +446,7 @@ policy serves is batch ≪ table. Raw runs: {raw}.
 (target >= 0.8) — {"PASS" if eff >= 0.8 else "FAIL"}.
 {_amdahl_md(best_prof, n, four_n)}"""
         )
-        body = open(out_path).read() if os.path.exists(out_path) else ""
-        if marker in body:
-            body = body.split(marker)[0]
-        with open(out_path, "w") as fh:
-            fh.write(body + section)
+        _write_report(out_path, updates={mode: section})
     print(f"wrote {out_path}")
 
 

@@ -95,3 +95,61 @@ def test_strong_report_filters_weak_rows_out(ledger, monkeypatch):
     assert "26.5" not in report
     # efficiency = (64e6/28 / 64e6/100) / 4 = 0.893
     assert "0.893" in report
+
+
+def _mor_ledger_rows():
+    return [
+        _row("mor", 1, 16_000_000, 28.0),
+        _row("mor", 1, 16_000_000, 27.0),
+    ]
+
+
+def test_section_writers_preserve_each_other(ledger, monkeypatch):
+    """Regression for the marker-truncation bug: the file layout is
+    [cow strong head][mor section][weak section]; rewriting ANY one of
+    the three must leave the other two intact (the old code split at
+    its own marker and deleted everything after it)."""
+    out = os.path.join(scaling.REPO, "BENCH", "BASELINE.md")
+    # add mor weak rows so both weak sections render
+    with open(ledger, "a") as fh:
+        for r in _mor_ledger_rows():
+            fh.write(json.dumps(r) + "\n")
+
+    monkeypatch.setenv("RUNS_LEDGER", str(ledger))
+    monkeypatch.setenv("CURVE", "0")
+    monkeypatch.setattr(sys, "argv", ["scaling.py", "64000000"])
+
+    # 1. cow strong -> head
+    monkeypatch.setenv("BENCH_MERGE_MODE", "cow")
+    scaling.main()
+    # 2. mor strong -> mor section
+    monkeypatch.setenv("BENCH_MERGE_MODE", "mor")
+    scaling.main()
+    # 3. weak -> weak section
+    scaling.weak_report([str(ledger), "64000000"])
+    body = open(out).read()
+    assert "Scaling efficiency" in body              # cow head
+    assert "MoR scaling efficiency" in body          # mor section
+    assert "Weak scaling (Gustafson)" in body        # weak section
+
+    # rewriting the cow head must keep mor AND weak
+    monkeypatch.setenv("BENCH_MERGE_MODE", "cow")
+    scaling.main()
+    body = open(out).read()
+    assert "MoR scaling efficiency" in body
+    assert "Weak scaling (Gustafson)" in body
+
+    # rewriting mor must keep weak (and the cow head)
+    monkeypatch.setenv("BENCH_MERGE_MODE", "mor")
+    scaling.main()
+    body = open(out).read()
+    assert body.count("<!-- scaling:mor -->") == 1
+    assert "Weak scaling (Gustafson)" in body
+    assert "Scaling efficiency" in body
+
+    # rewriting weak must keep mor; canonical order mor-before-weak
+    scaling.weak_report([str(ledger), "64000000"])
+    body = open(out).read()
+    assert body.count("<!-- scaling:weak -->") == 1
+    assert body.index("<!-- scaling:mor -->") < body.index("<!-- scaling:weak -->")
+    assert "### MOR" in body  # mor weak rows present now
