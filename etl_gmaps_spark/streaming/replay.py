@@ -457,9 +457,14 @@ class Replayer:
         lwm = min((int(r["last_lsn"]) for r in ckpt.values()), default=None)
         if not lwm:
             return None
+        # piggyback the delta-chain legs only when auto-compaction is ON:
+        # with auto_compact=False this cadence must be GC-only (delta
+        # legs None), or it silently re-enables the compaction the
+        # caller turned off — corrupting policy-off A/B measurements and
+        # injecting compactions into timed replays
         return self.table.maintain(
-            self.compact_max_chain,
-            self.compact_max_delta_ratio,
+            self.compact_max_chain if self.auto_compact else None,
+            self.compact_max_delta_ratio if self.auto_compact else None,
             tombstone_ratio=self.gc_tombstone_ratio,
             tombstone_before=lwm,
         )

@@ -803,14 +803,18 @@ class SnapshotTable:
 
     def maintenance_plan(
         self,
-        max_chain: int = 8,
-        max_delta_ratio: float = 0.5,
+        max_chain: int | None = 8,
+        max_delta_ratio: float | None = 0.5,
         tombstone_ratio: float | None = None,
         tombstone_before: int | None = None,
     ) -> list[int]:
         """Buckets whose MoR delta chain warrants compaction: chain depth
         ≥ ``max_chain`` files, OR delta bytes ≥ ``max_delta_ratio`` ×
-        base bytes. Driver-side metadata only — manifests cache per-file
+        base bytes. Either delta-leg threshold may be ``None`` to
+        disable that leg — a GC-only pass (tombstone legs set, delta
+        legs None) must never compact chains a caller explicitly left
+        alone with ``auto_compact=False``. Driver-side metadata only —
+        manifests cache per-file
         sizes at write time (``base_sizes``/``delta_sizes``, see
         ``_entry``), so the plan is a pure manifest walk with NO stat
         calls and no Spark job, cheap enough after every commit even at
@@ -835,8 +839,10 @@ class SnapshotTable:
             deltas = e.get("deltas", [])
             if not deltas:
                 continue
-            if len(deltas) >= max_chain:
+            if max_chain is not None and len(deltas) >= max_chain:
                 todo.add(int(b))
+                continue
+            if max_delta_ratio is None:
                 continue
 
             def _bytes(files: list[str], sizes: list[int] | None) -> int:
@@ -856,8 +862,8 @@ class SnapshotTable:
 
     def maintain(
         self,
-        max_chain: int = 8,
-        max_delta_ratio: float = 0.5,
+        max_chain: int | None = 8,
+        max_delta_ratio: float | None = 0.5,
         tombstone_ratio: float | None = None,
         tombstone_before: int | None = None,
     ) -> CommitResult | None:
