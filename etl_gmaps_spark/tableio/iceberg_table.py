@@ -15,7 +15,7 @@ from typing import Any
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
-from etl_gmaps_spark.tableio.snapshot_table import CommitResult
+from etl_gmaps_spark.tableio.snapshot_table import CommitResult, EpochSet
 
 
 def iceberg_available(spark: SparkSession) -> bool:
@@ -70,6 +70,35 @@ def epoch_property_sql(
     )
 
 
+def watermark_property_sql(identifier: str, watermark: int) -> str:
+    """Ledger rollup stamp: every epoch below ``watermark`` is applied
+    and its per-epoch property has been unset — SnapshotTable.EpochSet
+    parity, so a contiguous-from-zero replay keeps O(gaps) properties
+    in table metadata instead of one property per epoch forever."""
+    return (
+        f"ALTER TABLE {identifier} SET TBLPROPERTIES "
+        f"('cdc.epoch.watermark'='{int(watermark)}')"
+    )
+
+
+def unset_epochs_sql(identifier: str, epochs: list[int]) -> str:
+    keys = ", ".join(f"'cdc.epoch.{int(e)}'" for e in epochs)
+    return f"ALTER TABLE {identifier} UNSET TBLPROPERTIES ({keys})"
+
+
+def rollup_epochs(watermark: int, applied: set[int]) -> tuple[int, list[int]]:
+    """Advance ``watermark`` over the contiguous prefix of ``applied``;
+    returns (new_watermark, epochs_to_unset). Pure — unit-tested
+    in-sandbox, executed against a real catalog by merge()."""
+    w, s = int(watermark), {int(e) for e in applied}
+    drop: list[int] = []
+    while w in s:
+        s.discard(w)
+        drop.append(w)
+        w += 1
+    return w, drop
+
+
 def merge_sql(
     identifier: str, key: str, payload_cols: list[str], op_col: str = "op",
     source_view: str = "_cdc_source",
@@ -99,6 +128,11 @@ class IcebergTable:
     table. Only exercised when the runtime jar exists.
     """
 
+    # rolled-up epochs keep their per-epoch property for this many
+    # recent epochs (commit_log attribution window); older ones are
+    # unset — membership is covered by the watermark alone
+    KEEP_RECENT_EPOCHS = 64
+
     def __init__(self, spark: SparkSession, identifier: str):
         self.spark = spark
         self.identifier = identifier
@@ -127,22 +161,34 @@ class IcebergTable:
     def schema(self) -> T.StructType:
         return self.read().schema
 
-    def _epoch_ledger(self) -> dict[int, tuple[int, int]]:
-        """{epoch: (snapshot_id, events)} from the `cdc.epoch.*` table
-        properties merge() stamps. SHOW TBLPROPERTIES is metadata-only
-        (no data scan) and — unlike snapshot summaries — needs no
-        write.wap.enabled or session conf to round-trip."""
+    def _epoch_ledger(self) -> tuple[int, dict[int, tuple[int, int]]]:
+        """(watermark, {epoch: (snapshot_id, events)}) from the
+        `cdc.epoch.*` table properties merge() stamps. SHOW
+        TBLPROPERTIES is metadata-only (no data scan) and — unlike
+        snapshot summaries — needs no write.wap.enabled or session conf
+        to round-trip. Bounded: merge() rolls the contiguous prefix up
+        into `cdc.epoch.watermark` and unsets those per-epoch keys, so
+        a contiguous-from-zero replay keeps ONE integer property no
+        matter how many epochs applied (EpochSet parity; an
+        epoch-1-based or gapped stream keeps its sparse tail, bounded
+        by the gaps)."""
         rows = self.spark.sql(f"SHOW TBLPROPERTIES {self.identifier}").collect()
+        watermark = 0
         out: dict[int, tuple[int, int]] = {}
         for r in rows:
             if not r["key"].startswith("cdc.epoch."):
                 continue
+            suffix = r["key"][len("cdc.epoch."):]
+            if suffix == "watermark":
+                watermark = int(r["value"])
+                continue
             snap_s, _, ev_s = str(r["value"]).partition(":")
-            out[int(r["key"][len("cdc.epoch."):])] = (int(snap_s), int(ev_s or 0))
-        return out
+            out[int(suffix)] = (int(snap_s), int(ev_s or 0))
+        return watermark, out
 
-    def applied_epochs(self) -> set[int]:
-        return set(self._epoch_ledger())
+    def applied_epochs(self) -> EpochSet:
+        watermark, ledger = self._epoch_ledger()
+        return EpochSet(watermark, set(ledger))
 
     def commit_log(
         self,
@@ -154,21 +200,34 @@ class IcebergTable:
         select (newest first, optional filters, LIMIT) answered from
         Iceberg's `.snapshots` metadata table joined with the
         `cdc.epoch.*` property ledger."""
-        by_snap: dict[int, tuple[int, int]] = {
-            snap: (e, ev) for e, (snap, ev) in self._epoch_ledger().items()
-        }
+        _, ledger = self._epoch_ledger()
+        # one snapshot can carry several epochs (millisecond commit
+        # ties are attributed via .refs, but a caller may also batch),
+        # so the inversion is snapshot -> LIST — a dict comprehension
+        # would silently drop colliding epochs. snapshot_id 0 marks a
+        # state-no-op merge (no snapshot produced): applied in the
+        # ledger, present in applied_epochs(), but on no snapshot row.
+        # Epochs below the rollup watermark no longer carry snapshot
+        # attribution (their properties were unset); their snapshots
+        # list epochs: [] — the same information loss SnapshotTable
+        # accepts when its EpochSet compacts, and the latest-jobs
+        # queries this surface serves only read the recent window.
+        by_snap: dict[int, list[tuple[int, int]]] = {}
+        for e, (snap, ev) in ledger.items():
+            if snap:
+                by_snap.setdefault(snap, []).append((e, ev))
         rows = self.spark.sql(
             f"SELECT snapshot_id FROM {self.identifier}.snapshots "
             "ORDER BY committed_at DESC"
         ).collect()
         out: list[dict] = []
         for r in rows:
-            e, ev = by_snap.get(r.snapshot_id, (None, 0))
+            entries = sorted(by_snap.get(r.snapshot_id, []))
             c = {
                 "snapshot": r.snapshot_id,
                 "status": "ok",
-                "epochs": [e] if e is not None else [],
-                "events": ev,
+                "epochs": [e for e, _ in entries],
+                "events": sum(ev for _, ev in entries),
             }
             if status is not None and c["status"] != status:
                 continue
@@ -176,6 +235,16 @@ class IcebergTable:
                 continue
             out.append(c)
         return out[:latest] if latest else out
+
+    def _current_snapshot_id(self) -> int | None:
+        """The snapshot the main branch points at, from the `.refs`
+        metadata table — exact even when two commits share a
+        millisecond `committed_at` (ORDER BY committed_at LIMIT 1 is
+        not). None on a fresh table with no snapshot yet."""
+        rows = self.spark.sql(
+            f"SELECT snapshot_id FROM {self.identifier}.refs WHERE name = 'main'"
+        ).collect()
+        return int(rows[0][0]) if rows else None
 
     def merge(
         self,
@@ -187,7 +256,8 @@ class IcebergTable:
         stats: dict[str, Any] | None = None,
         key_col: str | None = None,
     ) -> CommitResult:
-        if epoch is not None and epoch in self.applied_epochs():
+        watermark, ledger = self._epoch_ledger()
+        if epoch is not None and (epoch < watermark or epoch in ledger):
             return CommitResult(-1, -1, 0, 0, epoch)
         payload = [f.name for f in winners.schema.fields if f.name != op_col]
         target_cols = {f.name for f in self.schema().fields}
@@ -197,10 +267,13 @@ class IcebergTable:
         winners.createOrReplaceTempView("_cdc_source")
         # explicit key_col wins; else the key-first convention
         key = key_col or [f.name for f in winners.schema.fields][0]
+        pre = self._current_snapshot_id()
         self.spark.sql(merge_sql(self.identifier, key, payload, op_col))
-        snap = self.spark.sql(
-            f"SELECT snapshot_id FROM {self.identifier}.snapshots ORDER BY committed_at DESC LIMIT 1"
-        ).collect()[0][0]
+        post = self._current_snapshot_id()
+        # a MERGE that changes zero rows produces NO new snapshot —
+        # attributing "the latest snapshot" would stamp the epoch onto
+        # the PREVIOUS commit. snapshot_id 0 = applied-but-no-op.
+        snap = post if post is not None and post != pre else 0
         if epoch is not None:
             # Stamp AFTER the MERGE commits. A crash in the window
             # between the two leaves the epoch unstamped and the replay
@@ -212,4 +285,23 @@ class IcebergTable:
             # exactly-once table state.
             events = int((stats or {}).get("events", 0))
             self.spark.sql(epoch_property_sql(self.identifier, epoch, snap, events))
+            # roll the contiguous prefix into the watermark so the
+            # property ledger stays O(gaps), not O(epochs): without
+            # this, 10^5 epochs = 10^5 table properties and every
+            # merge's applied-check scans all of them
+            new_w, rolled = rollup_epochs(watermark, set(ledger) | {int(epoch)})
+            # unset rolled-up keys EXCEPT a recent window (their
+            # membership is already covered by `epoch < watermark`;
+            # keeping the tail preserves commit_log's snapshot->epoch
+            # attribution for the latest-jobs queries), and sweep stale
+            # keys a crash between SET and UNSET left behind earlier
+            keep_floor = new_w - self.KEEP_RECENT_EPOCHS
+            drop = sorted(
+                {e for e in rolled if e < keep_floor}
+                | {e for e in ledger if e < min(watermark, keep_floor)}
+            )
+            if new_w > watermark:
+                self.spark.sql(watermark_property_sql(self.identifier, new_w))
+            for i in range(0, len(drop), 100):  # bounded statements
+                self.spark.sql(unset_epochs_sql(self.identifier, drop[i : i + 100]))
         return CommitResult(-1, snap, -1, -1, epoch)

@@ -236,6 +236,41 @@ def test_tombstone_gc_policy(spark, tmp_path):
     )
 
 
+def test_gc_cadence_respects_auto_compact_off(spark, tmp_path):
+    """Regression (r5 review): with auto_compact=False the tombstone-GC
+    cadence must be GC-ONLY. The old code passed the live delta-chain
+    thresholds into maintain() on every GC tick, silently re-enabling
+    the compaction the caller turned off — corrupting policy-off A/B
+    controls (bench/autocompact_bench.py) and injecting compactions
+    into timed replays."""
+    base = gen_base(spark, n_docs=100, seed=91)
+    # update-heavy, almost no deletes: tombstone mass stays far below
+    # the GC ratio, so a GC-only pass plans NOTHING — but delta chains
+    # grow one file per commit and would trip compact_max_chain=2
+    log = gen_changelog(
+        spark, n_docs=100, n_events=600, seed=91, epoch_size=100,
+        pct_insert=5, pct_delete=2, dup_epochs=(),
+    )
+    table = SnapshotTable.create(
+        spark, str(tmp_path / "t"), TARGET_SCHEMA, base_df=base, merge_mode="mor"
+    )
+    Replayer(
+        table, auto_compact=False, compact_max_chain=2,
+        compact_max_delta_ratio=0.01, gc_tombstones=True, gc_every=2,
+    ).run(log)
+    assert not [c for c in table.commit_log() if c.get("kind") == "compact"], (
+        "GC cadence compacted delta chains despite auto_compact=False"
+    )
+    resolved = table._resolve(table.snapshot())
+    assert any(len(e.get("deltas", [])) >= 3 for e in resolved.values()), (
+        "fixture never grew a chain the old code would have folded"
+    )
+    # and the state is still correct
+    expected = replay_oracle(base.toPandas(), log.toPandas())
+    assert_table_equal(table.read(), expected)
+
+
+
 def test_iceberg_sql_parses_with_spark_parser(spark):
     """The IcebergTable portability shim cannot EXECUTE in-sandbox (no
     iceberg-spark-runtime jar), but its generated SQL can be verified
@@ -250,6 +285,8 @@ def test_iceberg_sql_parses_with_spark_parser(spark):
         create_table_sql,
         epoch_property_sql,
         merge_sql,
+        unset_epochs_sql,
+        watermark_property_sql,
     )
 
     parser = spark._jsparkSession.sessionState().sqlParser()
@@ -259,6 +296,8 @@ def test_iceberg_sql_parses_with_spark_parser(spark):
         "alter": add_column_sql("cat.db.t", "quality", T.DoubleType()),
         "merge": merge_sql("cat.db.t", "doc_id", payload),
         "epoch_stamp": epoch_property_sql("cat.db.t", 7, 123456789, 5000),
+        "watermark": watermark_property_sql("cat.db.t", 8),
+        "unset": unset_epochs_sql("cat.db.t", [3, 4, 5]),
     }
     for name, sql in stmts.items():
         plan = parser.parsePlan(sql)  # raises ParseException on bad syntax
@@ -278,6 +317,25 @@ def test_iceberg_sql_parses_with_spark_parser(spark):
     # which Iceberg ignores (or worse, stages the commit) by default
     assert "'cdc.epoch.7'='123456789:5000'" in stmts["epoch_stamp"]
     assert "wap" not in stmts["epoch_stamp"]
+    assert "'cdc.epoch.watermark'='8'" in stmts["watermark"]
+    assert "'cdc.epoch.3', 'cdc.epoch.4', 'cdc.epoch.5'" in stmts["unset"]
+
+
+def test_iceberg_epoch_rollup_arithmetic():
+    """rollup_epochs is the pure core of the Iceberg ledger bound (r5
+    review: one TBLPROPERTIES key per epoch forever = O(epochs) table
+    metadata and an O(epochs) scan before every merge)."""
+    from etl_gmaps_spark.tableio.iceberg_table import rollup_epochs
+
+    # contiguous from zero: everything rolls
+    assert rollup_epochs(0, {0, 1, 2, 3}) == (4, [0, 1, 2, 3])
+    # resumes from a prior watermark
+    assert rollup_epochs(4, {4, 5}) == (6, [4, 5])
+    # a gap stops the walk; the tail stays sparse
+    assert rollup_epochs(0, {0, 1, 3}) == (2, [0, 1])
+    # nothing contiguous: no-op
+    assert rollup_epochs(0, {5, 9}) == (0, [])
+    assert rollup_epochs(2, set()) == (2, [])
 
 
 def test_iceberg_end_to_end_when_runtime_present(spark, tmp_path):

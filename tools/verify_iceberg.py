@@ -138,6 +138,41 @@ def main() -> int:
     log = it.commit_log(latest=2)
     checks.append(("commit_log", len(log) == 2 and log[0]["epochs"] == [2]))
 
+    # a state-no-op MERGE (delete of a missing key) produces NO Iceberg
+    # snapshot; the epoch must still enter the ledger WITHOUT being
+    # attributed to the previous commit's snapshot
+    snaps_before = spark.sql(f"SELECT count(*) FROM {ident}.snapshots").collect()[0][0]
+    it.merge(
+        spark.createDataFrame(
+            [("doc-none", None, None, None, "D")],
+            "doc_id string, n_tok int, source string, lang string, op string",
+        ),
+        epoch=3,
+    )
+    snaps_after = spark.sql(f"SELECT count(*) FROM {ident}.snapshots").collect()[0][0]
+    checks.append(("no-op merge: no snapshot", snaps_after == snaps_before))
+    checks.append(("no-op merge: epoch applied", 3 in it.applied_epochs()))
+    checks.append(
+        ("no-op merge: not misattributed", it.commit_log(latest=1)[0]["epochs"] == [2])
+    )
+
+    # ledger rollup: a contiguous-from-zero epoch stream advances the
+    # watermark and keeps O(gaps + recent window) properties (the
+    # KEEP_RECENT_EPOCHS attribution tail), not one per epoch forever
+    it.KEEP_RECENT_EPOCHS = 0  # force full rollup so the unset path runs
+    it.merge(
+        spark.createDataFrame(
+            [("doc-0004", 77, "src9", "fr", "U")],
+            "doc_id string, n_tok int, source string, lang string, op string",
+        ),
+        epoch=0,  # fills the gap: {0,1,2,3} is now contiguous from zero
+    )
+    wm, sparse = it._epoch_ledger()
+    checks.append(("rollup watermark", wm == 4))
+    checks.append(("rollup unsets stamps", sparse == {}))
+    applied = it.applied_epochs()
+    checks.append(("rollup membership", all(e in applied for e in (0, 1, 2, 3))))
+
     # --- SnapshotTable parity on the identical batches ----------------
     st_root = tempfile.mkdtemp(prefix="iceberg_verify_st_")
     st = SnapshotTable.create(
@@ -146,6 +181,22 @@ def main() -> int:
     st.merge(batch1, epoch=1)
     st.merge(batch1, epoch=1)
     st.merge(batch2, epoch=2)
+    # mirror the no-op and gap-filling merges from the Iceberg side so
+    # the final-state comparison stays apples-to-apples
+    st.merge(
+        spark.createDataFrame(
+            [("doc-none", None, None, None, "D")],
+            "doc_id string, n_tok int, source string, lang string, op string",
+        ),
+        epoch=3,
+    )
+    st.merge(
+        spark.createDataFrame(
+            [("doc-0004", 77, "src9", "fr", "U")],
+            "doc_id string, n_tok int, source string, lang string, op string",
+        ),
+        epoch=0,
+    )
     a = {tuple(r) for r in it.read().select("doc_id", "n_tok", "source", "lang").collect()}
     b = {tuple(r) for r in st.read().select("doc_id", "n_tok", "source", "lang").collect()}
     checks.append(("SnapshotTable parity", a == b))
