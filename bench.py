@@ -337,7 +337,11 @@ def main() -> None:
         "unit": "sec",
         "queries": {},
         "queries_sec_total": round(sum(queries.values()), 2),
-        "queries_file": side,
+        # the pointer is only honest for the durable default path; a
+        # BENCH_SIDE_FILE launch (scaling orchestrator) reads AND
+        # deletes its per-run temp file, which would leave this line
+        # advertising a path that no longer exists
+        **({"queries_file": side} if not os.environ.get("BENCH_SIDE_FILE") else {}),
         "sf": detail["sf"],
         "cpus": TOTAL_CORES,
         "calib_sec": calib,

@@ -87,6 +87,23 @@ def _decode_stub(payload: bytes, media_type: str) -> list[float]:
     return [c / total for c in counts]
 
 
+
+def _size_fanout(src: "DataFrame", batch_rows: int | None, n_rows: int | None) -> "DataFrame":
+    """Size the Python-worker fan-out for a mapInPandas kernel: coalesce
+    to ceil(n / batch_rows) partitions so a few-hundred-row input does
+    not pay a cold Python worker per core. n_rows skips the count() —
+    pass it when the caller knows the size (a count() on a COMPUTED
+    source re-runs its whole lineage). Shared by every media kernel so
+    the next sizing fix lands once."""
+    if not batch_rows:
+        return src
+    n = n_rows if n_rows is not None else src.count()
+    target = max(1, -(-n // batch_rows))
+    if target < src.rdd.getNumPartitions():
+        src = src.coalesce(target)
+    return src
+
+
 def extract_features(
     media: DataFrame, batch_rows: int | None = None, n_rows: int | None = None
 ) -> DataFrame:
@@ -118,11 +135,7 @@ def extract_features(
             yield out
 
     src = media.select("media_id", "payload", "media_type")
-    if batch_rows:
-        n = n_rows if n_rows is not None else src.count()
-        target = max(1, -(-n // batch_rows))
-        if target < src.rdd.getNumPartitions():
-            src = src.coalesce(target)
+    src = _size_fanout(src, batch_rows, n_rows)
     return src.mapInPandas(featurize, schema=FEATURE_SCHEMA)
 
 
@@ -206,6 +219,11 @@ def _decode_bmp(payload: bytes) -> tuple[int, int, int, int, int]:
         raise ValueError(f"unsupported BMP: bpp={bpp} compression={comp}")
     h = abs(h)  # negative height = top-down rows; sums are orientation-invariant
     stride = (w * 3 + 3) & ~3
+    if w <= 0 or h <= 0 or len(payload) < off + stride * h:
+        raise ValueError(
+            f"truncated/corrupt BMP: {w}x{h}, need {off + stride * h} bytes, "
+            f"have {len(payload)}"
+        )
     sums = [0, 0, 0]
     for row_idx in range(h):
         # map storage row -> image y (bottom-up files store y=h-1 first)
@@ -276,11 +294,7 @@ def decode_images(media: DataFrame, batch_rows: int | None = None, n_rows: int |
             )
 
     src = media.select("media_id", "payload")
-    if batch_rows:
-        n = n_rows if n_rows is not None else src.count()
-        target = max(1, -(-n // batch_rows))
-        if target < src.rdd.getNumPartitions():
-            src = src.coalesce(target)
+    src = _size_fanout(src, batch_rows, n_rows)
     return src.mapInPandas(decode, schema=DECODE_SCHEMA)
 
 
@@ -361,6 +375,10 @@ def _decode_wav(payload: bytes) -> tuple[int, int, int, int, int | None]:
     audio_format, n_ch, rate, _, block_align, bits = fmt
     if audio_format != 1 or bits != 16:
         raise ValueError(f"unsupported WAV: format={audio_format} bits={bits}")
+    # a crafted fmt chunk with block_align=0 or n_ch=0 must be the
+    # promised ValueError, not an uncontrolled ZeroDivision/slice error
+    if n_ch < 1 or block_align != n_ch * 2:
+        raise ValueError(f"corrupt WAV fmt: channels={n_ch} block_align={block_align}")
     n_frames = len(data) // block_align
     samples = struct.unpack(f"<{n_frames * n_ch}h", data[: n_frames * n_ch * 2])
     ch0 = sum(samples[0::n_ch])
@@ -426,11 +444,7 @@ def decode_audio(media: DataFrame, batch_rows: int | None = None, n_rows: int | 
             )
 
     src = media.select("media_id", "payload")
-    if batch_rows:
-        n = n_rows if n_rows is not None else src.count()
-        target = max(1, -(-n // batch_rows))
-        if target < src.rdd.getNumPartitions():
-            src = src.coalesce(target)
+    src = _size_fanout(src, batch_rows, n_rows)
     return src.mapInPandas(decode, schema=WAV_DECODE_SCHEMA)
 
 
@@ -551,11 +565,7 @@ def resize_images(
             )
 
     imgs = media.filter(F.col("media_type") == "image").select("media_id", "payload", "media_type")
-    if batch_rows:
-        n = n_rows if n_rows is not None else imgs.count()
-        target = max(1, -(-n // batch_rows))
-        if target < imgs.rdd.getNumPartitions():
-            imgs = imgs.coalesce(target)
+    imgs = _size_fanout(imgs, batch_rows, n_rows)
     return imgs.mapInPandas(resize, schema=MEDIA_SCHEMA)
 
 

@@ -63,9 +63,15 @@ def streaming_lww_gate(
     events: DataFrame, key_col: str = "doc_id", lsn_col: str = "lsn"
 ) -> DataFrame:
     """Admit only events whose lsn strictly exceeds the max lsn already
-    admitted for their key; emitted rows per key have strictly
-    increasing lsns across the whole stream. ``events`` must be a
-    STREAMING DataFrame (``spark.readStream``)."""
+    admitted for their key. Emitted lsns per key are strictly increasing
+    ACROSS micro-batches; within one micro-batch, byte-identical
+    replayed duplicates are dropped, but same-lsn rows with DIFFERING
+    payloads (an upstream bug) are all emitted deliberately — the
+    divergence must stay visible downstream rather than a
+    sort-order-dependent survivor masking it, so consumers needing a
+    hard per-key total order still apply their own conflict rule (the
+    sink's ``_lsn`` guard does). ``events`` must be a STREAMING
+    DataFrame (``spark.readStream``)."""
     out_schema = events.schema
     col_order = [f.name for f in events.schema.fields]
 
