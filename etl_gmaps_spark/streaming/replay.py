@@ -451,6 +451,11 @@ class Replayer:
         min per-bucket checkpointed last_lsn is the conservative pick.
         With a gapped ledger there is no safe mark, so GC is skipped
         rather than guessed."""
+        if not hasattr(self.table, "maintain"):
+            # IcebergTable: tombstones don't exist there (DELETE removes
+            # the row) and compaction is Iceberg's own
+            # rewrite_data_files procedure on its own schedule
+            return None
         if self.table.applied_epochs().explicit:
             return None
         ckpt = self._ckpt or {}

@@ -86,6 +86,42 @@ def unset_epochs_sql(identifier: str, epochs: list[int]) -> str:
     return f"ALTER TABLE {identifier} UNSET TBLPROPERTIES ({keys})"
 
 
+def checkpoint_property_sql(identifier: str, rows: list[dict]) -> str:
+    """Per-partition lineage (north rule: (partition, last_lsn,
+    rows_applied, bytes) after any failure) as `cdc.ckpt.<p>` table
+    properties — n_buckets entries, bounded, committed through the same
+    catalog the data commits through. Value format is positional:
+    last_lsn:rows_applied:bytes:epoch:updated_at_iso (updated_at may be
+    empty)."""
+    pairs = ", ".join(
+        f"'cdc.ckpt.{int(r['partition'])}'='{_encode_ckpt(r)}'" for r in rows
+    )
+    return f"ALTER TABLE {identifier} SET TBLPROPERTIES ({pairs})"
+
+
+def _encode_ckpt(r: dict) -> str:
+    ts = r.get("updated_at")
+    ts_s = ts.isoformat() if hasattr(ts, "isoformat") else (ts or "")
+    return (
+        f"{int(r['last_lsn'])}:{int(r['rows_applied'])}:{int(r.get('bytes', 0))}"
+        f":{int(r.get('epoch', 0))}:{ts_s}"
+    )
+
+
+def _decode_ckpt(partition: int, value: str) -> dict:
+    from datetime import datetime
+
+    lsn, rows, nbytes, epoch, ts_s = value.split(":", 4)
+    return {
+        "partition": int(partition),
+        "last_lsn": int(lsn),
+        "rows_applied": int(rows),
+        "bytes": int(nbytes),
+        "epoch": int(epoch),
+        "updated_at": datetime.fromisoformat(ts_s) if ts_s else None,
+    }
+
+
 def rollup_epochs(watermark: int, applied: set[int]) -> tuple[int, list[int]]:
     """Advance ``watermark`` over the contiguous prefix of ``applied``;
     returns (new_watermark, epochs_to_unset). Pure — unit-tested
@@ -101,32 +137,51 @@ def rollup_epochs(watermark: int, applied: set[int]) -> tuple[int, list[int]]:
 
 def merge_sql(
     identifier: str, key: str, payload_cols: list[str], op_col: str = "op",
-    source_view: str = "_cdc_source",
+    source_view: str = "_cdc_source", lsn_col: str | None = None,
 ) -> str:
     """The exactly-once apply statement (SnapshotTable.merge parity):
     delete winners drop the row, update winners replace the payload,
     unseen non-delete keys insert. ``payload_cols`` excludes ``op_col``.
-    """
+
+    ``lsn_col`` (when the target stores it, the Replayer path) adds the
+    ROW-LEVEL last-writer-wins guard to both MATCHED arms — a stale
+    lower-lsn re-delivery is a per-row no-op even when the epoch ledger
+    cannot see it, mirroring SnapshotTable's ``_lsn`` guard. One
+    difference stays and is documented: Iceberg DELETE physically
+    removes the row (no tombstone), so a stale upsert arriving AFTER a
+    delete would re-insert; the epoch ledger is what prevents that
+    ordering (epochs are lsn-monotone and applied ascending)."""
     sets = ", ".join(f"t.{c} = s.{c}" for c in payload_cols)
     cols = ", ".join(payload_cols)
     vals = ", ".join(f"s.{c}" for c in payload_cols)
+    # NULL-safe: bootstrap/base rows carry no lsn yet — any real lsn
+    # beats them (ANSI NULL comparison would make the arm never fire)
+    guard = (
+        f" AND (t.{lsn_col} IS NULL OR s.{lsn_col} >= t.{lsn_col})" if lsn_col else ""
+    )
     return f"""
         MERGE INTO {identifier} t USING {source_view} s
         ON t.{key} = s.{key}
-        WHEN MATCHED AND s.{op_col} = 'D' THEN DELETE
-        WHEN MATCHED THEN UPDATE SET {sets}
+        WHEN MATCHED AND s.{op_col} = 'D'{guard} THEN DELETE
+        WHEN MATCHED{guard} THEN UPDATE SET {sets}
         WHEN NOT MATCHED AND s.{op_col} != 'D' THEN INSERT ({cols}) VALUES ({vals})
     """
 
 
 class IcebergTable:
-    """MERGE INTO / table-properties implementation on Iceberg SQL.
+    """MERGE INTO / table-properties implementation on Iceberg SQL,
+    exposing the same surface SnapshotTable gives the Replayer — so
+    ``Replayer(IcebergTable(spark, ident)).run(log)`` IS the north-star
+    path (binlog tail → exactly-once MERGE upserts into Iceberg,
+    resumable, per-partition lineage) with no replay-loop changes.
 
-    Mirrors SnapshotTable: the epoch ledger lives in table properties
-    (`cdc.epoch.<epoch>` = `<snapshot_id>:<events>`, stamped right
-    after each MERGE commit); checkpoint parquet sits beside the
-    table. Only exercised when the runtime jar exists.
-    """
+    Ledger: `cdc.epoch.<epoch>` = `<snapshot_id>:<events>` properties
+    stamped after each MERGE, rolled up into `cdc.epoch.watermark`.
+    Lineage: `cdc.ckpt.<partition>` properties (last_lsn, rows_applied,
+    bytes, epoch, updated_at). Row-level LWW: the replay path stores
+    the lsn column in the target and the MERGE arms carry a NULL-safe
+    `s.lsn >= t.lsn` guard. Only exercised when the runtime jar exists
+    (tools/verify_iceberg.py)."""
 
     # rolled-up epochs keep their per-epoch property for this many
     # recent epochs (commit_log attribution window); older ones are
@@ -150,6 +205,10 @@ class IcebergTable:
         base_df: DataFrame | None = None,
     ) -> "IcebergTable":
         spark.sql(create_table_sql(identifier, schema, key_col, n_buckets))
+        spark.sql(
+            f"ALTER TABLE {identifier} SET TBLPROPERTIES "
+            f"('cdc.key_col'='{key_col}', 'cdc.n_buckets'='{int(n_buckets)}')"
+        )
         t = cls(spark, identifier)
         if base_df is not None:
             base_df.writeTo(identifier).append()
@@ -157,6 +216,35 @@ class IcebergTable:
 
     def read(self) -> DataFrame:
         return self.spark.table(self.identifier)
+
+    def snapshot(self) -> dict[str, Any]:
+        """Replayer-facing table descriptor (the keys the replay loop
+        reads from SnapshotTable.snapshot): merge_mode is always 'cow'
+        — Iceberg's own MERGE strategy (CoW by default,
+        write.merge.mode=merge-on-read to flip) is the engine's
+        equivalent knob and lives in table properties, not here."""
+        props = self._properties()
+        return {
+            "merge_mode": "cow",
+            "key_col": props.get("cdc.key_col", "doc_id"),
+            "n_buckets": int(props.get("cdc.n_buckets", 16)),
+        }
+
+    def _properties(self) -> dict[str, str]:
+        return {
+            r["key"]: str(r["value"])
+            for r in self.spark.sql(f"SHOW TBLPROPERTIES {self.identifier}").collect()
+        }
+
+    def checkpoint_rows(self) -> list[dict] | None:
+        """Per-partition lineage from the `cdc.ckpt.<p>` properties
+        merge() stamps (crash-resume seed, SnapshotTable parity)."""
+        rows = [
+            _decode_ckpt(int(k[len("cdc.ckpt."):]), v)
+            for k, v in self._properties().items()
+            if k.startswith("cdc.ckpt.")
+        ]
+        return sorted(rows, key=lambda r: r["partition"]) or None
 
     def schema(self) -> T.StructType:
         return self.read().schema
@@ -172,17 +260,16 @@ class IcebergTable:
         matter how many epochs applied (EpochSet parity; an
         epoch-1-based or gapped stream keeps its sparse tail, bounded
         by the gaps)."""
-        rows = self.spark.sql(f"SHOW TBLPROPERTIES {self.identifier}").collect()
         watermark = 0
         out: dict[int, tuple[int, int]] = {}
-        for r in rows:
-            if not r["key"].startswith("cdc.epoch."):
+        for k, v in self._properties().items():
+            if not k.startswith("cdc.epoch."):
                 continue
-            suffix = r["key"][len("cdc.epoch."):]
+            suffix = k[len("cdc.epoch."):]
             if suffix == "watermark":
-                watermark = int(r["value"])
+                watermark = int(v)
                 continue
-            snap_s, _, ev_s = str(r["value"]).partition(":")
+            snap_s, _, ev_s = v.partition(":")
             out[int(suffix)] = (int(snap_s), int(ev_s or 0))
         return watermark, out
 
@@ -249,32 +336,61 @@ class IcebergTable:
     def merge(
         self,
         winners: DataFrame,
-        epoch: int | None = None,
-        checkpoint_df: DataFrame | None = None,
+        epoch: int | list[int] | None = None,
+        checkpoint_df: DataFrame | list[dict] | None = None,
         op_col: str = "op",
+        lsn_col: str | None = None,
         extra_properties: dict[str, Any] | None = None,
         stats: dict[str, Any] | None = None,
         key_col: str | None = None,
+        touched_buckets: list[int] | None = None,
+        dedupe_source: bool = False,
     ) -> CommitResult:
+        """SnapshotTable.merge surface over Iceberg SQL, so the same
+        Replayer drives either sink (north rule: exactly-once MERGE
+        upserts into Iceberg). Differences, all documented:
+        ``touched_buckets`` is accepted and ignored (Iceberg's own
+        bucket-partition pruning replaces the manifest-window
+        optimization); ``lsn_col`` adds the row-level LWW guard to the
+        MERGE arms when the target stores the column;
+        ``dedupe_source=True`` dropDuplicates the source on the key
+        (MERGE requires unique source keys); ``checkpoint_df`` rows
+        (list of lineage dicts) land as `cdc.ckpt.<p>` properties."""
+        epochs = (
+            None if epoch is None
+            else [int(epoch)] if isinstance(epoch, int)
+            else [int(e) for e in epoch]
+        )
         watermark, ledger = self._epoch_ledger()
-        if epoch is not None and (epoch < watermark or epoch in ledger):
-            return CommitResult(-1, -1, 0, 0, epoch)
+        if epochs is not None and all(
+            e < watermark or e in ledger for e in epochs
+        ):
+            return CommitResult(-1, -1, 0, 0, epochs[-1])
         payload = [f.name for f in winners.schema.fields if f.name != op_col]
         target_cols = {f.name for f in self.schema().fields}
         for f in winners.schema.fields:
             if f.name not in target_cols and f.name != op_col:
                 self.spark.sql(add_column_sql(self.identifier, f.name, f.dataType))
-        winners.createOrReplaceTempView("_cdc_source")
         # explicit key_col wins; else the key-first convention
         key = key_col or [f.name for f in winners.schema.fields][0]
+        if dedupe_source:
+            winners = winners.dropDuplicates([key])
+        winners.createOrReplaceTempView("_cdc_source")
+        guard = lsn_col if lsn_col and lsn_col in target_cols | set(payload) else None
         pre = self._current_snapshot_id()
-        self.spark.sql(merge_sql(self.identifier, key, payload, op_col))
+        self.spark.sql(merge_sql(self.identifier, key, payload, op_col, lsn_col=guard))
         post = self._current_snapshot_id()
         # a MERGE that changes zero rows produces NO new snapshot —
         # attributing "the latest snapshot" would stamp the epoch onto
         # the PREVIOUS commit. snapshot_id 0 = applied-but-no-op.
         snap = post if post is not None and post != pre else 0
-        if epoch is not None:
+        if checkpoint_df is not None and not isinstance(checkpoint_df, DataFrame):
+            rows = list(checkpoint_df)
+            for i in range(0, len(rows), 100):
+                self.spark.sql(
+                    checkpoint_property_sql(self.identifier, rows[i : i + 100])
+                )
+        if epochs is not None:
             # Stamp AFTER the MERGE commits. A crash in the window
             # between the two leaves the epoch unstamped and the replay
             # re-runs the MERGE — which is state-idempotent for a unique
@@ -282,14 +398,21 @@ class IcebergTable:
             # values; a replayed insert matches and updates; a replayed
             # delete finds no match and the NOT MATCHED arm excludes
             # op='D'), so at-least-once stamping still yields
-            # exactly-once table state.
+            # exactly-once table state. A grouped commit (list epoch)
+            # stamps every member onto the one snapshot; events go on
+            # the last so commit_log sums stay exact.
             events = int((stats or {}).get("events", 0))
-            self.spark.sql(epoch_property_sql(self.identifier, epoch, snap, events))
+            for e in epochs:
+                self.spark.sql(
+                    epoch_property_sql(
+                        self.identifier, e, snap, events if e == epochs[-1] else 0
+                    )
+                )
             # roll the contiguous prefix into the watermark so the
             # property ledger stays O(gaps), not O(epochs): without
             # this, 10^5 epochs = 10^5 table properties and every
             # merge's applied-check scans all of them
-            new_w, rolled = rollup_epochs(watermark, set(ledger) | {int(epoch)})
+            new_w, rolled = rollup_epochs(watermark, set(ledger) | set(epochs))
             # unset rolled-up keys EXCEPT a recent window (their
             # membership is already covered by `epoch < watermark`;
             # keeping the tail preserves commit_log's snapshot->epoch
@@ -304,4 +427,4 @@ class IcebergTable:
                 self.spark.sql(watermark_property_sql(self.identifier, new_w))
             for i in range(0, len(drop), 100):  # bounded statements
                 self.spark.sql(unset_epochs_sql(self.identifier, drop[i : i + 100]))
-        return CommitResult(-1, snap, -1, -1, epoch)
+        return CommitResult(-1, snap, -1, -1, epochs[-1] if epochs else None)

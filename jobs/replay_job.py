@@ -26,7 +26,14 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--log", help="change-log path (parquet, ideally epoch-partitioned)")
-    ap.add_argument("--table", help="target SnapshotTable root")
+    ap.add_argument("--table", help="target SnapshotTable root (or Iceberg identifier with --table-format iceberg)")
+    ap.add_argument(
+        "--table-format", choices=("snapshot", "iceberg"), default="snapshot",
+        help="snapshot = file-layout SnapshotTable at --table PATH; iceberg = "
+        "catalog identifier (cat.db.table) via IcebergTable — requires "
+        "iceberg-spark-runtime on the classpath and a catalog conf; the "
+        "same Replayer drives either",
+    )
     ap.add_argument("--n-buckets", type=int, default=64)
     ap.add_argument("--salt", type=int, default=0, help="explicit LWW salt buckets (0 = partial-agg only)")
     ap.add_argument("--batch-epochs", type=int, default=1)
@@ -57,6 +64,24 @@ def main() -> None:
 
     log_path = args.log
     table_path = args.table
+    def _make_table(base_df=None):
+        if args.table_format == "iceberg":
+            from etl_gmaps_spark.tableio.iceberg_table import IcebergTable
+
+            if not spark.catalog.tableExists(table_path):
+                return IcebergTable.create(
+                    spark, table_path, TARGET_SCHEMA,
+                    n_buckets=args.n_buckets, base_df=base_df,
+                )
+            return IcebergTable(spark, table_path)
+        if not SnapshotTable.exists(table_path):
+            return SnapshotTable.create(
+                spark, table_path, TARGET_SCHEMA, n_buckets=args.n_buckets,
+                base_df=base_df, merge_mode=args.merge_mode,
+            )
+        return SnapshotTable(spark, table_path)
+
+    table = None
     if args.generate:
         from etl_gmaps_spark.datagen import gen_base, gen_changelog
 
@@ -67,18 +92,10 @@ def main() -> None:
         gen_changelog(
             spark, n_docs=n_docs, n_events=args.generate, epoch_size=max(1, args.generate // 4)
         ).write.mode("overwrite").partitionBy("epoch").parquet(log_path)
-        if not SnapshotTable.exists(table_path):
-            SnapshotTable.create(
-                spark, table_path, TARGET_SCHEMA, n_buckets=args.n_buckets,
-                base_df=gen_base(spark, n_docs=n_docs), merge_mode=args.merge_mode,
-            )
+        table = _make_table(base_df=gen_base(spark, n_docs=n_docs))
 
-    if not SnapshotTable.exists(table_path):
-        SnapshotTable.create(
-            spark, table_path, TARGET_SCHEMA, n_buckets=args.n_buckets,
-            merge_mode=args.merge_mode,
-        )
-    table = SnapshotTable(spark, table_path)
+    if table is None:
+        table = _make_table()
 
     if args.stream:
         from etl_gmaps_spark.streaming.stream_replay import run_availablenow
@@ -105,7 +122,9 @@ def main() -> None:
                     "epochs_applied": m.epochs_applied,
                     "epochs_skipped": m.epochs_skipped,
                     "final_rows": table.read().count(),
-                    "snapshot": table.snapshot()["version"],
+                    # SnapshotTable reports its version; IcebergTable's
+                    # descriptor has no version key (the catalog owns it)
+                    "snapshot": table.snapshot().get("version", -1),
                 }
             )
         )

@@ -282,6 +282,7 @@ def test_iceberg_sql_parses_with_spark_parser(spark):
     from etl_gmaps_spark.schemas import TARGET_SCHEMA
     from etl_gmaps_spark.tableio.iceberg_table import (
         add_column_sql,
+        checkpoint_property_sql,
         create_table_sql,
         epoch_property_sql,
         merge_sql,
@@ -295,9 +296,15 @@ def test_iceberg_sql_parses_with_spark_parser(spark):
         "create": create_table_sql("cat.db.t", TARGET_SCHEMA, "doc_id", 16),
         "alter": add_column_sql("cat.db.t", "quality", T.DoubleType()),
         "merge": merge_sql("cat.db.t", "doc_id", payload),
+        "merge_lww": merge_sql("cat.db.t", "doc_id", payload + ["lsn"], lsn_col="lsn"),
         "epoch_stamp": epoch_property_sql("cat.db.t", 7, 123456789, 5000),
         "watermark": watermark_property_sql("cat.db.t", 8),
         "unset": unset_epochs_sql("cat.db.t", [3, 4, 5]),
+        "checkpoint": checkpoint_property_sql(
+            "cat.db.t",
+            [{"partition": 0, "last_lsn": 99, "rows_applied": 10, "bytes": 1024,
+              "epoch": 3, "updated_at": None}],
+        ),
     }
     for name, sql in stmts.items():
         plan = parser.parsePlan(sql)  # raises ParseException on bad syntax
@@ -319,6 +326,31 @@ def test_iceberg_sql_parses_with_spark_parser(spark):
     assert "wap" not in stmts["epoch_stamp"]
     assert "'cdc.epoch.watermark'='8'" in stmts["watermark"]
     assert "'cdc.epoch.3', 'cdc.epoch.4', 'cdc.epoch.5'" in stmts["unset"]
+    # row-level LWW guard on BOTH matched arms, NULL-safe for base rows
+    lww = stmts["merge_lww"]
+    guard = "(t.lsn IS NULL OR s.lsn >= t.lsn)"
+    assert f"WHEN MATCHED AND s.op = 'D' AND {guard} THEN DELETE" in lww
+    assert f"WHEN MATCHED AND {guard} THEN UPDATE" in lww
+    # the insert arm never guards (nothing to compare against)
+    assert "WHEN NOT MATCHED AND s.op != 'D' THEN INSERT" in lww
+    assert "'cdc.ckpt.0'='99:10:1024:3:'" in stmts["checkpoint"]
+
+
+def test_iceberg_checkpoint_codec_roundtrip():
+    """cdc.ckpt.<p> property codec: the lineage dict survives
+    encode->decode exactly (the crash-resume seed path)."""
+    from datetime import datetime
+
+    from etl_gmaps_spark.tableio.iceberg_table import _decode_ckpt, _encode_ckpt
+
+    ts = datetime(2026, 8, 19, 12, 30, 45)
+    row = {"partition": 7, "last_lsn": 123456, "rows_applied": 999,
+           "bytes": 65536, "epoch": 42, "updated_at": ts}
+    assert _decode_ckpt(7, _encode_ckpt(row)) == row
+    # None timestamp round-trips; iso strings containing ':' survive
+    # because the split is bounded
+    row2 = dict(row, updated_at=None)
+    assert _decode_ckpt(7, _encode_ckpt(row2)) == row2
 
 
 def test_iceberg_epoch_rollup_arithmetic():

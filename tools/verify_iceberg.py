@@ -201,6 +201,57 @@ def main() -> int:
     b = {tuple(r) for r in st.read().select("doc_id", "n_tok", "source", "lang").collect()}
     checks.append(("SnapshotTable parity", a == b))
 
+    # --- Replayer over Iceberg: the north-star path itself ------------
+    # binlog-shaped changelog -> Replayer.run -> exactly-once MERGE
+    # upserts, crash-resume from the cdc.ckpt lineage, duplicate-epoch
+    # dedupe via the property ledger, per-row token-array equality vs
+    # the pandas oracle (BASELINE.json's per-row invariant).
+    from etl_gmaps_spark.datagen import gen_base, gen_changelog
+    from etl_gmaps_spark.oracle import replay_oracle
+    from etl_gmaps_spark.schemas import TARGET_SCHEMA
+    from etl_gmaps_spark.streaming.replay import InjectedCrash, Replayer
+
+    rbase = gen_base(spark, n_docs=200, seed=11)
+    rlog = gen_changelog(spark, n_docs=200, n_events=2000, seed=11, epoch_size=250)
+    ident_r = "ice.db.cdc_replay"
+    spark.sql(f"DROP TABLE IF EXISTS {ident_r}")
+    irt = IcebergTable.create(
+        spark, ident_r, TARGET_SCHEMA, key_col="doc_id", n_buckets=8, base_df=rbase
+    )
+    try:  # crash mid-replay ...
+        Replayer(irt).run(rlog, fail_after_epochs=3)
+        checks.append(("replayer crash injection", False))
+    except InjectedCrash:
+        pass
+    # ... resume with a FRESH handle: ledger + lineage come from the
+    # catalog, nothing from driver memory
+    m = Replayer(IcebergTable(spark, ident_r)).run(rlog)
+    checks.append(("replayer resume skips applied", m.epochs_skipped >= 3))
+    expected = replay_oracle(rbase.toPandas(), rlog.toPandas())
+    got = irt.read().select("doc_id", "tokens", "n_tok", "source").toPandas()
+    def _row_key(r):
+        # normalize pandas' null zoo: Spark->pandas yields NaN where the
+        # oracle dict holds None; tokens may be list, numpy array, or NaN
+        toks = r.tokens
+        tt = () if toks is None or isinstance(toks, float) else tuple(int(t) for t in toks)
+        n = r.n_tok
+        n = None if n is None or (isinstance(n, float) and n != n) else int(n)
+        s = r.source
+        s = None if s is None or (isinstance(s, float) and s != s) else s
+        return (r.doc_id, tt, n, s)
+
+    want_set = {_row_key(r) for r in expected.itertuples()}
+    got_set = {_row_key(r) for r in got.itertuples()}
+    checks.append(("replayer token-array equality", got_set == want_set))
+    ckpt = irt.checkpoint_rows() or []
+    max_lsn = rlog.agg({"lsn": "max"}).collect()[0][0]
+    checks.append(
+        ("replayer lineage", bool(ckpt) and max(r["last_lsn"] for r in ckpt) == max_lsn)
+    )
+    # re-running the whole log is a wholesale no-op
+    m2 = Replayer(IcebergTable(spark, ident_r)).run(rlog)
+    checks.append(("replayer idempotent re-run", m2.epochs_applied == 0))
+
     failed = [name for name, ok in checks if not ok]
     for name, ok in checks:
         print(f"  {'OK  ' if ok else 'FAIL'} {name}")
