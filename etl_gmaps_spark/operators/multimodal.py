@@ -366,6 +366,8 @@ def _decode_wav(payload: bytes) -> tuple[int, int, int, int, int | None]:
         size = int.from_bytes(payload[pos + 4 : pos + 8], "little")
         body = payload[pos + 8 : pos + 8 + size]
         if cid == b"fmt ":
+            if len(body) < 16:  # struct.error would escape the promised ValueError
+                raise ValueError("fmt chunk shorter than the 16-byte PCM header")
             fmt = struct.unpack("<HHIIHH", body[:16])
         elif cid == b"data":
             data = body

@@ -275,7 +275,10 @@ class IcebergTable:
 
     def applied_epochs(self) -> EpochSet:
         watermark, ledger = self._epoch_ledger()
-        return EpochSet(watermark, set(ledger))
+        # keys below the watermark are the retained attribution tail —
+        # already covered by the watermark; keeping them in `explicit`
+        # would double-count len()/iter()
+        return EpochSet(watermark, {e for e in ledger if e >= watermark})
 
     def commit_log(
         self,

@@ -1,0 +1,100 @@
+"""Property tests for the pure codec/arithmetic kernels — no Spark.
+
+1. Iceberg epoch-ledger rollup: membership is invariant under rollup,
+   the watermark only advances, and dropped keys are exactly the ones
+   the watermark now covers.
+2. BMP/WAV decoders on corrupted payloads: every failure is the
+   promised ValueError (task code must never leak ZeroDivisionError /
+   struct.error / slice errors into a Spark executor), and successful
+   decodes honor the header.
+"""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from etl_gmaps_spark.operators.multimodal import (
+    _decode_bmp,
+    _decode_wav,
+    _encode_bmp,
+    _encode_wav,
+)
+from etl_gmaps_spark.tableio.iceberg_table import rollup_epochs
+
+
+@given(
+    watermark=st.integers(min_value=0, max_value=50),
+    applied=st.sets(st.integers(min_value=0, max_value=100), max_size=40),
+)
+def test_rollup_epochs_invariants(watermark, applied):
+    new_w, drop = rollup_epochs(watermark, applied)
+    assert new_w >= watermark
+    # dropped keys are exactly the contiguous walk [watermark, new_w)
+    assert drop == list(range(watermark, new_w))
+    # membership preserved: e applied before <=> e applied after
+    def member(e, w, s):
+        return e < w or e in s
+    remaining = set(applied) - set(drop)
+    for e in range(0, 102):
+        before = member(e, watermark, applied)
+        after = member(e, new_w, remaining)
+        # rollup may only ADD coverage below the old watermark (keys the
+        # caller never claimed applied but the watermark asserts); for
+        # every key >= old watermark the two must agree exactly
+        if e >= watermark:
+            assert before == after, (e, watermark, new_w)
+    # the walk stopped for a reason: the key at the new watermark is not
+    # applied
+    assert not member(new_w, watermark, applied) or new_w > 100
+
+
+_mutations = st.lists(
+    st.tuples(st.integers(min_value=0, max_value=10_000), st.integers(0, 255)),
+    min_size=1,
+    max_size=8,
+)
+
+
+def _mutate(payload: bytes, muts) -> bytes:
+    b = bytearray(payload)
+    for pos, val in muts:
+        b[pos % len(b)] = val
+    return bytes(b)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    media_id=st.integers(min_value=0, max_value=1000),
+    w=st.integers(min_value=1, max_value=9),
+    h=st.integers(min_value=1, max_value=7),
+    muts=_mutations,
+)
+def test_bmp_decode_never_leaks_raw_errors(media_id, w, h, muts):
+    corrupted = _mutate(_encode_bmp(media_id, w, h), muts)
+    try:
+        got_w, got_h, b_sum, g_sum, r_sum = _decode_bmp(corrupted)
+    except ValueError:
+        return  # the promised failure mode
+    # successful decode must honor the (possibly mutated) header
+    assert got_w == int.from_bytes(corrupted[18:22], "little", signed=True)
+    assert got_h == abs(int.from_bytes(corrupted[22:26], "little", signed=True))
+    assert all(isinstance(v, int) and v >= 0 for v in (b_sum, g_sum, r_sum))
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    media_id=st.integers(min_value=0, max_value=1000),
+    n_ch=st.integers(min_value=1, max_value=2),
+    n_frames=st.integers(min_value=1, max_value=60),
+    muts=_mutations,
+)
+def test_wav_decode_never_leaks_raw_errors(media_id, n_ch, n_frames, muts):
+    wav = _encode_wav(media_id, n_ch, 8000, n_frames)
+    corrupted = _mutate(wav, muts)
+    try:
+        ch, rate, frames, ch0, ch1 = _decode_wav(corrupted)
+    except ValueError:
+        return  # the promised failure mode
+    assert ch >= 1 and frames >= 0
+    assert (ch1 is None) == (ch == 1)
