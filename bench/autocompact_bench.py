@@ -68,7 +68,11 @@ def main() -> None:
                 n_buckets=32, base_df=base, merge_mode="mor",
             )
             t0 = monotonic()
-            Replayer(table, auto_compact=policy).run(log)
+            # gc_tombstones off in BOTH legs: this A/B isolates the
+            # delta-chain compaction policy; the (orthogonal) GC cadence
+            # would fire its tombstone_stats aggregation at commit 16
+            # and muddy the policy-off control's timing
+            Replayer(table, auto_compact=policy, gc_tombstones=False).run(log)
             replay_sec = monotonic() - t0
             t0 = monotonic()
             rows = table.read().count()
