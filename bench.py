@@ -163,8 +163,14 @@ def bench_replay(spark) -> dict:
             # upserts ~all keys (batch ≈ table), so the delta/base
             # threshold trips after every commit and the replay would
             # measure CoW twice over; see the mor-leg comment below
+            # gc_tombstones off too: the headline times the apply path;
+            # with BENCH_EPOCHS >= gc_every the GC tick would run a
+            # full-table tombstone_stats aggregation (and possibly
+            # rewrites) inside the timed window on byte-identical code
             t0 = monotonic()
-            m = Replayer(table, auto_compact=False).run(log, batch_epochs=BATCH_EPOCHS)
+            m = Replayer(table, auto_compact=False, gc_tombstones=False).run(
+                log, batch_epochs=BATCH_EPOCHS
+            )
             elapsed = monotonic() - t0
             repeat_secs.append(round(elapsed, 3))
             if best is None or elapsed < best["replay_sec"]:
@@ -222,7 +228,9 @@ def bench_replay(spark) -> dict:
             # batch ≪ table (no trip); compaction cost is measured on
             # its own in BENCH/MOR.md.
             t0 = monotonic()
-            mm = Replayer(mor_tbl, auto_compact=False).run(log, batch_epochs=BATCH_EPOCHS)
+            mm = Replayer(mor_tbl, auto_compact=False, gc_tombstones=False).run(
+                log, batch_epochs=BATCH_EPOCHS
+            )
             mor_elapsed = monotonic() - t0
             mprops = mor_tbl.snapshot()["properties"]
             mor_rewritten = sum(

@@ -365,6 +365,13 @@ def _decode_wav(payload: bytes) -> tuple[int, int, int, int, int | None]:
         cid = payload[pos : pos + 4]
         size = int.from_bytes(payload[pos + 4 : pos + 8], "little")
         body = payload[pos + 8 : pos + 8 + size]
+        if len(body) < size:
+            # a declared size past the payload end must raise, not clamp:
+            # a clamped data chunk decodes to fewer frames and LOOKS like
+            # a successful decode with wrong sums
+            raise ValueError(
+                f"truncated WAV chunk {cid!r}: declared {size}, have {len(body)}"
+            )
         if cid == b"fmt ":
             if len(body) < 16:  # struct.error would escape the promised ValueError
                 raise ValueError("fmt chunk shorter than the 16-byte PCM header")
@@ -477,6 +484,11 @@ def _decode_bmp_pixels(payload: bytes) -> "object":
         raise ValueError(f"unsupported BMP: bpp={bpp} compression={comp}")
     h = abs(h_raw)
     stride = (w * 3 + 3) & ~3
+    if w <= 0 or h <= 0 or len(payload) < off + stride * h:
+        raise ValueError(
+            f"truncated/corrupt BMP: {w}x{h}, need {off + stride * h} bytes, "
+            f"have {len(payload)}"
+        )
     raw = np.frombuffer(payload, dtype=np.uint8, count=stride * h, offset=off)
     rows = raw.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
     # positive header height = bottom-up storage: flip to image order

@@ -418,7 +418,6 @@ class Replayer:
         if max_epochs is not None:
             pending = pending[:max_epochs]
 
-        commits = 0
         for group_start in range(0, len(pending), batch_epochs):
             group = [int(e) for e in pending[group_start : group_start + batch_epochs]]
             batch = log.filter(F.col(self.epoch_col).isin(group))
@@ -427,8 +426,15 @@ class Replayer:
                 m.epochs_applied += len(group)
                 m.events_processed += info["events"]
                 m.rows_upserted += info["rows"]
-                commits += 1
-                if self.gc_tombstones and commits % self.gc_every == 0:
+                # GC cadence rides the table's PERSISTENT snapshot
+                # version, not a run()-local commit counter: a driver
+                # that polls with max_epochs=K < gc_every (or builds a
+                # fresh Replayer per poll, jobs/replay_job.py) would
+                # reset a local counter every invocation and never GC
+                if (
+                    self.gc_tombstones
+                    and int(info["snapshot"] or 0) % self.gc_every == 0
+                ):
                     self._maybe_gc_tombstones()
             m.per_epoch.append(info)
             if info.get("prof"):

@@ -365,9 +365,10 @@ class IcebergTable:
             else [int(e) for e in epoch]
         )
         watermark, ledger = self._epoch_ledger()
-        if epochs is not None and all(
-            e < watermark or e in ledger for e in epochs
-        ):
+        # `epochs and`: an EMPTY epoch list is vacuously all-applied but
+        # has no epochs[-1]; SnapshotTable treats it as an un-ledgered
+        # merge, so the parity surface must too
+        if epochs and all(e < watermark or e in ledger for e in epochs):
             return CommitResult(-1, -1, 0, 0, epochs[-1])
         payload = [f.name for f in winners.schema.fields if f.name != op_col]
         target_cols = {f.name for f in self.schema().fields}
@@ -387,13 +388,19 @@ class IcebergTable:
         # attributing "the latest snapshot" would stamp the epoch onto
         # the PREVIOUS commit. snapshot_id 0 = applied-but-no-op.
         snap = post if post is not None and post != pre else 0
-        if checkpoint_df is not None and not isinstance(checkpoint_df, DataFrame):
-            rows = list(checkpoint_df)
+        if checkpoint_df is not None:
+            # the declared surface takes a DataFrame too (SnapshotTable
+            # parity); collecting is bounded — lineage is n_buckets rows
+            rows = (
+                [r.asDict() for r in checkpoint_df.collect()]
+                if isinstance(checkpoint_df, DataFrame)
+                else list(checkpoint_df)
+            )
             for i in range(0, len(rows), 100):
                 self.spark.sql(
                     checkpoint_property_sql(self.identifier, rows[i : i + 100])
                 )
-        if epochs is not None:
+        if epochs:
             # Stamp AFTER the MERGE commits. A crash in the window
             # between the two leaves the epoch unstamped and the replay
             # re-runs the MERGE — which is state-idempotent for a unique
@@ -406,6 +413,13 @@ class IcebergTable:
             # the last so commit_log sums stay exact.
             events = int((stats or {}).get("events", 0))
             for e in epochs:
+                # never overwrite an epoch stamped by an EARLIER attempt:
+                # after a crash mid-group-stamp the resume's MERGE is a
+                # state no-op (snap=0), and re-stamping the already-
+                # stamped members would erase their real snapshot
+                # attribution from the ledger
+                if e in ledger or e < watermark:
+                    continue
                 self.spark.sql(
                     epoch_property_sql(
                         self.identifier, e, snap, events if e == epochs[-1] else 0

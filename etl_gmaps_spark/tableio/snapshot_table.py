@@ -726,8 +726,17 @@ class SnapshotTable:
         with_deltas = [int(b) for b, e in resolved.items() if e.get("deltas")]
         if tombstones_before is None:
             todo = with_deltas if buckets is None else [b for b in buckets if int(b) in set(with_deltas)]
+        elif buckets is None:
+            # whole-table GC: find the buckets actually holding
+            # GC-eligible tombstones (one column-pruned aggregation) —
+            # a pure-CoW bucket with no delta chain still gets its dead
+            # rows dropped, and clean buckets are never rewritten
+            dead = self.tombstone_stats(before_lsn=int(tombstones_before))
+            todo = sorted(
+                set(with_deltas) | {b for b, s in dead.items() if s["dead"] > 0}
+            )
         else:
-            todo = sorted(set(with_deltas) if buckets is None else {int(b) for b in buckets})
+            todo = sorted({int(b) for b in buckets})
         if not todo:
             return CommitResult(snap["version"], snap["snapshot_id"], 0, 0, None)
         key_col, n_buckets = snap["key_col"], snap["n_buckets"]

@@ -16,9 +16,11 @@ from hypothesis import strategies as st
 
 from etl_gmaps_spark.operators.multimodal import (
     _decode_bmp,
+    _decode_bmp_pixels,
     _decode_wav,
     _encode_bmp,
     _encode_wav,
+    _resize_pixels,
 )
 from etl_gmaps_spark.tableio.iceberg_table import rollup_epochs
 
@@ -80,6 +82,51 @@ def test_bmp_decode_never_leaks_raw_errors(media_id, w, h, muts):
     assert got_w == int.from_bytes(corrupted[18:22], "little", signed=True)
     assert got_h == abs(int.from_bytes(corrupted[22:26], "little", signed=True))
     assert all(isinstance(v, int) and v >= 0 for v in (b_sum, g_sum, r_sum))
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    media_id=st.integers(min_value=0, max_value=1000),
+    w=st.integers(min_value=1, max_value=9),
+    h=st.integers(min_value=1, max_value=7),
+    muts=_mutations,
+)
+def test_bmp_pixel_decode_and_resize_never_leak_raw_errors(media_id, w, h, muts):
+    """The RESIZE path's full-raster decoder must hold the same
+    only-ValueError contract as _decode_bmp (r5 review: a zeroed width
+    field used to pass the header checks and leak IndexError out of
+    _resize_pixels inside the executor)."""
+    corrupted = _mutate(_encode_bmp(media_id, w, h), muts)
+    try:
+        px = _decode_bmp_pixels(corrupted)
+    except ValueError:
+        return  # the promised failure mode
+    got_w = int.from_bytes(corrupted[18:22], "little", signed=True)
+    got_h = abs(int.from_bytes(corrupted[22:26], "little", signed=True))
+    assert px.shape == (got_h, got_w, 3)
+    # and the resize that consumes it stays total on whatever survived
+    assert _resize_pixels(px, 6, 5, "nearest").shape == (5, 6, 3)
+    assert _resize_pixels(px, 6, 5, "bilinear").shape == (5, 6, 3)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    media_id=st.integers(min_value=0, max_value=1000),
+    n_ch=st.integers(min_value=1, max_value=2),
+    n_frames=st.integers(min_value=1, max_value=40),
+    cut=st.integers(min_value=1, max_value=16),
+)
+def test_wav_truncation_raises_not_clamps(media_id, n_ch, n_frames, cut):
+    """A WAV cut mid-data must raise, not decode to fewer frames: a
+    clamped data chunk LOOKS like a successful decode with wrong sums
+    (r5 review). Cut at most the data chunk's own bytes so the header
+    stays intact."""
+    import pytest
+
+    wav = _encode_wav(media_id, n_ch, 8000, n_frames)
+    cut = min(cut, n_frames * n_ch * 2 - 1)
+    with pytest.raises(ValueError):
+        _decode_wav(wav[: len(wav) - cut])
 
 
 @settings(max_examples=200, deadline=None)

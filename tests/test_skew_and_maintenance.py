@@ -271,6 +271,52 @@ def test_gc_cadence_respects_auto_compact_off(spark, tmp_path):
 
 
 
+def test_gc_cadence_survives_bounded_fetch_polls(spark, tmp_path):
+    """Regression (r5 review): the GC cadence rides the table's
+    PERSISTENT snapshot version, not a run()-local commit counter. A
+    driver polling with max_epochs=1 and a fresh Replayer per poll (the
+    jobs/replay_job.py shape) would otherwise reset the counter every
+    invocation and never GC a delete-heavy stream."""
+    base = gen_base(spark, n_docs=400, seed=78)
+    log = gen_changelog(
+        spark, n_docs=400, n_events=1500, seed=78, epoch_size=150,
+        pct_insert=10, pct_delete=50, hot_frac=0.0, dup_epochs=(),
+    )
+    expected = replay_oracle(base.toPandas(), log.toPandas())
+    table = SnapshotTable.create(
+        spark, str(tmp_path / "t"), TARGET_SCHEMA, base_df=base, merge_mode="mor"
+    )
+    for _ in range(10):  # one epoch per poll, fresh Replayer per poll
+        Replayer(table, gc_every=3, gc_tombstone_ratio=0.1).run(log, max_epochs=1)
+    assert_table_equal(table.read(), expected)
+    assert [c for c in table.commit_log() if "gc_tombstones_before" in c], (
+        "bounded-fetch polling never fired the GC cadence"
+    )
+
+
+def test_whole_table_gc_on_pure_cow(spark, tmp_path):
+    """Regression (r5 review): compact(buckets=None, tombstones_before)
+    must GC a pure-CoW table — no delta chain ever exists there, and the
+    old bucket selection (deltas only) made the documented whole-table
+    GC a silent no-op."""
+    base = gen_base(spark, n_docs=300, seed=79)
+    log = gen_changelog(
+        spark, n_docs=300, n_events=1200, seed=79, epoch_size=300,
+        pct_insert=10, pct_delete=50, hot_frac=0.0, dup_epochs=(),
+    )
+    expected = replay_oracle(base.toPandas(), log.toPandas())
+    table = SnapshotTable.create(spark, str(tmp_path / "t"), TARGET_SCHEMA, base_df=base)
+    Replayer(table, gc_tombstones=False).run(log)
+    lwm = min(int(r["last_lsn"]) for r in table.checkpoint_rows())
+    assert sum(s["dead"] for s in table.tombstone_stats(before_lsn=lwm).values()) > 0
+    res = table.compact(tombstones_before=lwm)
+    assert res.buckets_rewritten > 0, "whole-table GC no-op'd on a CoW table"
+    assert_table_equal(table.read(), expected)  # live state unchanged
+    assert sum(
+        s["dead"] for s in table.tombstone_stats(before_lsn=lwm).values()
+    ) == 0, "GC-eligible tombstones survived the whole-table pass"
+
+
 def test_iceberg_sql_parses_with_spark_parser(spark):
     """The IcebergTable portability shim cannot EXECUTE in-sandbox (no
     iceberg-spark-runtime jar), but its generated SQL can be verified

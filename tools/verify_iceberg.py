@@ -173,6 +173,53 @@ def main() -> int:
     applied = it.applied_epochs()
     checks.append(("rollup membership", all(e in applied for e in (0, 1, 2, 3))))
 
+    # --- r5 review regressions ----------------------------------------
+    from etl_gmaps_spark.tableio.iceberg_table import unset_epochs_sql
+
+    # (a) crash BETWEEN a grouped commit's epoch stamps: the resume's
+    # re-merge is a state no-op (snap=0) and must restamp ONLY the
+    # missing member — never erase the already-stamped member's real
+    # snapshot attribution
+    batch_g = spark.createDataFrame(
+        [("doc-0005", 55, "src9", "de", "U")],
+        "doc_id string, n_tok int, source string, lang string, op string",
+    )
+    it.merge(batch_g, epoch=[10, 11])
+    snap10 = it._epoch_ledger()[1][10][0]
+    checks.append(("grouped stamp attribution", snap10 != 0))
+    spark.sql(unset_epochs_sql(ident, [11]))  # simulate the mid-stamp crash
+    it.merge(batch_g, epoch=[10, 11])  # resume
+    checks.append(
+        ("partial-stamp resume keeps attribution", it._epoch_ledger()[1][10][0] == snap10)
+    )
+    checks.append(("partial-stamp resume applies tail", 11 in it.applied_epochs()))
+
+    # (b) an EMPTY epoch list is an un-ledgered merge (SnapshotTable
+    # parity), not an IndexError
+    batch_e = spark.createDataFrame(
+        [("doc-0006", 66, "src9", "it", "U")],
+        "doc_id string, n_tok int, source string, lang string, op string",
+    )
+    it.merge(batch_e, epoch=[])
+    checks.append(
+        (
+            "empty epoch list merges un-ledgered",
+            it.read().filter("doc_id='doc-0006'").collect()[0]["n_tok"] == 66,
+        )
+    )
+
+    # (c) checkpoint_df accepts a Spark DataFrame (the declared surface;
+    # lineage is n_buckets rows, so the collect is bounded)
+    ck = spark.createDataFrame(
+        [(0, 12345, 10, 0, 11)],
+        "partition int, last_lsn long, rows_applied long, bytes long, epoch long",
+    )
+    it.merge(batch_e, epoch=None, checkpoint_df=ck)
+    rows_ck = {r["partition"]: r for r in (it.checkpoint_rows() or [])}
+    checks.append(
+        ("DataFrame checkpoint stamps lineage", rows_ck.get(0, {}).get("last_lsn") == 12345)
+    )
+
     # --- SnapshotTable parity on the identical batches ----------------
     st_root = tempfile.mkdtemp(prefix="iceberg_verify_st_")
     st = SnapshotTable.create(
@@ -197,6 +244,8 @@ def main() -> int:
         ),
         epoch=0,
     )
+    st.merge(batch_g, epoch=[10, 11])  # mirror the review-regression merges
+    st.merge(batch_e, epoch=[])
     a = {tuple(r) for r in it.read().select("doc_id", "n_tok", "source", "lang").collect()}
     b = {tuple(r) for r in st.read().select("doc_id", "n_tok", "source", "lang").collect()}
     checks.append(("SnapshotTable parity", a == b))
