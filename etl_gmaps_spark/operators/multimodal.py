@@ -203,27 +203,41 @@ def _encode_bmp(media_id: int, w: int, h: int) -> bytes:
     return _bmp_headers(w, h) + bytes(rows)
 
 
-def _decode_bmp(payload: bytes) -> tuple[int, int, int, int, int]:
-    """Parse a BI_RGB 24-bit BMP from bytes alone: returns
-    (width, height, b_sum, g_sum, r_sum). Raises on anything that is
-    not the format it claims — a decoder that guesses is worse than a
-    stub."""
+def _parse_bmp_header(payload: bytes) -> tuple[int, int, int, int]:
+    """Shared header parse + validation for BOTH BMP decode paths:
+    returns (pixel_offset, width, h_raw, stride) or raises ValueError —
+    never IndexError/struct.error — on anything that is not an intact
+    BI_RGB 24-bit BMP. h_raw keeps its sign (negative = top-down rows);
+    callers take abs() and decide whether orientation matters. One
+    validator means the sum and raster decoders can never drift apart
+    on what "valid" means (the r5 hardening history had the raster
+    variant leaking IndexError where this check raised)."""
     if payload is None or payload[:2] != b"BM":
         raise ValueError("not a BMP payload")
     off = int.from_bytes(payload[10:14], "little")
     w = int.from_bytes(payload[18:22], "little", signed=True)
-    h = int.from_bytes(payload[22:26], "little", signed=True)
+    h_raw = int.from_bytes(payload[22:26], "little", signed=True)
     bpp = int.from_bytes(payload[28:30], "little")
     comp = int.from_bytes(payload[30:34], "little")
     if bpp != 24 or comp != 0:
         raise ValueError(f"unsupported BMP: bpp={bpp} compression={comp}")
-    h = abs(h)  # negative height = top-down rows; sums are orientation-invariant
+    h = abs(h_raw)
     stride = (w * 3 + 3) & ~3
     if w <= 0 or h <= 0 or len(payload) < off + stride * h:
         raise ValueError(
             f"truncated/corrupt BMP: {w}x{h}, need {off + stride * h} bytes, "
             f"have {len(payload)}"
         )
+    return off, w, h_raw, stride
+
+
+def _decode_bmp(payload: bytes) -> tuple[int, int, int, int, int]:
+    """Parse a BI_RGB 24-bit BMP from bytes alone: returns
+    (width, height, b_sum, g_sum, r_sum). Raises on anything that is
+    not the format it claims — a decoder that guesses is worse than a
+    stub."""
+    off, w, h_raw, stride = _parse_bmp_header(payload)
+    h = abs(h_raw)  # sums are orientation-invariant
     sums = [0, 0, 0]
     for row_idx in range(h):
         # map storage row -> image y (bottom-up files store y=h-1 first)
@@ -473,22 +487,8 @@ def _decode_bmp_pixels(payload: bytes) -> "object":
     instead of folding it into channel sums, because resize needs it."""
     import numpy as np
 
-    if payload is None or payload[:2] != b"BM":
-        raise ValueError("not a BMP payload")
-    off = int.from_bytes(payload[10:14], "little")
-    w = int.from_bytes(payload[18:22], "little", signed=True)
-    h_raw = int.from_bytes(payload[22:26], "little", signed=True)
-    bpp = int.from_bytes(payload[28:30], "little")
-    comp = int.from_bytes(payload[30:34], "little")
-    if bpp != 24 or comp != 0:
-        raise ValueError(f"unsupported BMP: bpp={bpp} compression={comp}")
+    off, w, h_raw, stride = _parse_bmp_header(payload)
     h = abs(h_raw)
-    stride = (w * 3 + 3) & ~3
-    if w <= 0 or h <= 0 or len(payload) < off + stride * h:
-        raise ValueError(
-            f"truncated/corrupt BMP: {w}x{h}, need {off + stride * h} bytes, "
-            f"have {len(payload)}"
-        )
     raw = np.frombuffer(payload, dtype=np.uint8, count=stride * h, offset=off)
     rows = raw.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
     # positive header height = bottom-up storage: flip to image order

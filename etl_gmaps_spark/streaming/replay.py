@@ -116,6 +116,18 @@ class Replayer:
         self.gc_tombstones = gc_tombstones
         self.gc_every = max(1, gc_every)
         self.gc_tombstone_ratio = gc_tombstone_ratio
+        # deletes applied since the last GC check. None = unknown (a
+        # fresh Replayer may face tombstones a PREVIOUS run left, so
+        # the first cadence tick always checks); afterwards an
+        # insert/update-only replay skips the tombstone_stats
+        # aggregation entirely — zero new deletes cannot raise any
+        # bucket's eligible tombstone mass above where the last check
+        # found it. (Deletes applied before a check whose lsn exceeded
+        # the then low-water mark become eligible later without new
+        # deletes arriving; that bounded residue is collected on the
+        # first tick after the next delete, or by an explicit
+        # maintain() call.)
+        self._gc_deletes: int | None = None
         self._ckpt: dict[int, dict] | None = None  # partition -> lineage row
 
     def _merged_checkpoint_rows(self, stats: list[dict]) -> list[dict]:
@@ -428,6 +440,8 @@ class Replayer:
                 m.epochs_applied += len(group)
                 m.events_processed += info["events"]
                 m.rows_upserted += info["rows"]
+                if self._gc_deletes is not None:
+                    self._gc_deletes += int(info.get("deletes") or 0)
                 # GC cadence rides the table's PERSISTENT snapshot
                 # version, not a run()-local commit counter: a driver
                 # that polls with max_epochs=K < gc_every (or builds a
@@ -464,12 +478,24 @@ class Replayer:
             # the row) and compaction is Iceberg's own
             # rewrite_data_files procedure on its own schedule
             return None
+        if self._gc_deletes == 0:
+            # no deletes applied since the last check: no bucket's
+            # eligible tombstone mass can have grown past where that
+            # check left it — skip the full-table aggregation. (Counter
+            # None = fresh Replayer, unknown prior state: fall through.)
+            return None
+        # gapped ledger (out-of-order EXPLICIT epochs) = no safe
+        # low-water mark; see the docstring. A contiguous run anchored
+        # at a non-zero base (epoch-1-based stream, mid-binlog resume)
+        # compacts to explicit=∅ and passes — the safety argument needs
+        # contiguity, not zero-based numbering.
         if self.table.applied_epochs().explicit:
             return None
         ckpt = self._ckpt or {}
         lwm = min((int(r["last_lsn"]) for r in ckpt.values()), default=None)
         if not lwm:
             return None
+        self._gc_deletes = 0
         # piggyback the delta-chain legs only when auto-compaction is ON:
         # with auto_compact=False this cadence must be GC-only (delta
         # legs None), or it silently re-enables the compaction the
@@ -492,7 +518,9 @@ class Replayer:
         done = self.table.applied_epochs()
         if not done:
             return log.select(self.epoch_col).distinct().count() == 0
-        applied = F.col(self.epoch_col) < F.lit(done.watermark)
+        applied = (F.col(self.epoch_col) >= F.lit(done.base)) & (
+            F.col(self.epoch_col) < F.lit(done.watermark)
+        )
         if done.explicit:
             applied = applied | F.col(self.epoch_col).isin([int(e) for e in done.explicit])
         remaining = log.select(self.epoch_col).distinct().filter(~applied).count()

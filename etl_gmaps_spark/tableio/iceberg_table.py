@@ -71,13 +71,26 @@ def epoch_property_sql(
 
 
 def watermark_property_sql(identifier: str, watermark: int) -> str:
-    """Ledger rollup stamp: every epoch below ``watermark`` is applied
-    and its per-epoch property has been unset — SnapshotTable.EpochSet
-    parity, so a contiguous-from-zero replay keeps O(gaps) properties
-    in table metadata instead of one property per epoch forever."""
+    """Ledger rollup stamp: every epoch in ``[base, watermark)`` is
+    applied and its per-epoch property has been unset —
+    SnapshotTable.EpochSet parity, so a contiguous replay (whatever its
+    numbering starts at) keeps O(gaps) properties in table metadata
+    instead of one property per epoch forever."""
     return (
         f"ALTER TABLE {identifier} SET TBLPROPERTIES "
         f"('cdc.epoch.watermark'='{int(watermark)}')"
+    )
+
+
+def base_property_sql(identifier: str, base: int) -> str:
+    """Rollup anchor: the lowest epoch the watermark covers. Stamped
+    once, by the first rollup, at the lowest applied epoch — so a
+    stream numbered from 1 (or resumed mid-binlog at 10^6) rolls up
+    exactly like a zero-based one, and epochs below ``base`` are never
+    claimed applied."""
+    return (
+        f"ALTER TABLE {identifier} SET TBLPROPERTIES "
+        f"('cdc.epoch.base'='{int(base)}')"
     )
 
 
@@ -122,17 +135,31 @@ def _decode_ckpt(partition: int, value: str) -> dict:
     }
 
 
-def rollup_epochs(watermark: int, applied: set[int]) -> tuple[int, list[int]]:
-    """Advance ``watermark`` over the contiguous prefix of ``applied``;
-    returns (new_watermark, epochs_to_unset). Pure — unit-tested
-    in-sandbox, executed against a real catalog by merge()."""
-    w, s = int(watermark), {int(e) for e in applied}
+def rollup_epochs(
+    base: int, watermark: int, applied: set[int]
+) -> tuple[int, int, list[int]]:
+    """Advance ``watermark`` over the contiguous run of ``applied``
+    above ``base``; returns (base, new_watermark, epochs_to_unset).
+    While no run exists yet (watermark <= base), anchors both at the
+    LOWEST applied epoch — EpochSet._store_epochs parity, so an
+    epoch-1-based or mid-binlog-resumed stream still compacts to two
+    integers instead of one property per epoch forever. Pure —
+    unit-tested in-sandbox, executed against a real catalog by
+    merge()."""
+    b, w, s = int(base), int(watermark), {int(e) for e in applied}
+    # watermark < base only after a crash between the base stamp and
+    # the watermark stamp: the base property is authoritative there —
+    # resume the walk from it (the unsets that could lose sparse
+    # members only run after BOTH stamps, so nothing is missing)
+    w = max(w, b)
+    if w == b and s:
+        b = w = min(s)
     drop: list[int] = []
     while w in s:
         s.discard(w)
         drop.append(w)
         w += 1
-    return w, drop
+    return b, w, drop
 
 
 def merge_sql(
@@ -249,18 +276,19 @@ class IcebergTable:
     def schema(self) -> T.StructType:
         return self.read().schema
 
-    def _epoch_ledger(self) -> tuple[int, dict[int, tuple[int, int]]]:
-        """(watermark, {epoch: (snapshot_id, events)}) from the
+    def _epoch_ledger(self) -> tuple[int, int, dict[int, tuple[int, int]]]:
+        """(base, watermark, {epoch: (snapshot_id, events)}) from the
         `cdc.epoch.*` table properties merge() stamps. SHOW
         TBLPROPERTIES is metadata-only (no data scan) and — unlike
         snapshot summaries — needs no write.wap.enabled or session conf
-        to round-trip. Bounded: merge() rolls the contiguous prefix up
-        into `cdc.epoch.watermark` and unsets those per-epoch keys, so
-        a contiguous-from-zero replay keeps ONE integer property no
-        matter how many epochs applied (EpochSet parity; an
-        epoch-1-based or gapped stream keeps its sparse tail, bounded
-        by the gaps)."""
-        watermark = 0
+        to round-trip. Bounded: merge() rolls the contiguous run up
+        into `cdc.epoch.base`/`cdc.epoch.watermark` (the first rollup
+        anchors base at the lowest applied epoch) and unsets the
+        rolled-up per-epoch keys, so a contiguous replay — zero-based,
+        1-based, or resumed mid-binlog — keeps two integer properties
+        no matter how many epochs applied (EpochSet parity; a gapped
+        stream keeps its sparse tail, bounded by the gaps)."""
+        base = watermark = 0
         out: dict[int, tuple[int, int]] = {}
         for k, v in self._properties().items():
             if not k.startswith("cdc.epoch."):
@@ -269,16 +297,23 @@ class IcebergTable:
             if suffix == "watermark":
                 watermark = int(v)
                 continue
+            if suffix == "base":
+                base = int(v)
+                continue
             snap_s, _, ev_s = v.partition(":")
             out[int(suffix)] = (int(snap_s), int(ev_s or 0))
-        return watermark, out
+        return base, watermark, out
 
     def applied_epochs(self) -> EpochSet:
-        watermark, ledger = self._epoch_ledger()
-        # keys below the watermark are the retained attribution tail —
-        # already covered by the watermark; keeping them in `explicit`
-        # would double-count len()/iter()
-        return EpochSet(watermark, {e for e in ledger if e >= watermark})
+        base, watermark, ledger = self._epoch_ledger()
+        # keys inside [base, watermark) are the retained attribution
+        # tail — already covered by the watermark; keeping them in
+        # `explicit` would double-count len()/iter()
+        return EpochSet(
+            watermark,
+            {e for e in ledger if not (base <= e < watermark)},
+            base,
+        )
 
     def commit_log(
         self,
@@ -290,7 +325,7 @@ class IcebergTable:
         select (newest first, optional filters, LIMIT) answered from
         Iceberg's `.snapshots` metadata table joined with the
         `cdc.epoch.*` property ledger."""
-        _, ledger = self._epoch_ledger()
+        _, _, ledger = self._epoch_ledger()
         # one snapshot can carry several epochs (millisecond commit
         # ties are attributed via .refs, but a caller may also batch),
         # so the inversion is snapshot -> LIST — a dict comprehension
@@ -364,11 +399,15 @@ class IcebergTable:
             else [int(epoch)] if isinstance(epoch, int)
             else [int(e) for e in epoch]
         )
-        watermark, ledger = self._epoch_ledger()
+        base, watermark, ledger = self._epoch_ledger()
+
+        def _applied(e: int) -> bool:
+            return base <= e < watermark or e in ledger
+
         # `epochs and`: an EMPTY epoch list is vacuously all-applied but
         # has no epochs[-1]; SnapshotTable treats it as an un-ledgered
         # merge, so the parity surface must too
-        if epochs and all(e < watermark or e in ledger for e in epochs):
+        if epochs and all(_applied(e) for e in epochs):
             return CommitResult(-1, -1, 0, 0, epochs[-1])
         payload = [f.name for f in winners.schema.fields if f.name != op_col]
         target_cols = {f.name for f in self.schema().fields}
@@ -418,7 +457,7 @@ class IcebergTable:
                 # state no-op (snap=0), and re-stamping the already-
                 # stamped members would erase their real snapshot
                 # attribution from the ledger
-                if e in ledger or e < watermark:
+                if _applied(e):
                     continue
                 self.spark.sql(
                     epoch_property_sql(
@@ -429,17 +468,23 @@ class IcebergTable:
             # property ledger stays O(gaps), not O(epochs): without
             # this, 10^5 epochs = 10^5 table properties and every
             # merge's applied-check scans all of them
-            new_w, rolled = rollup_epochs(watermark, set(ledger) | set(epochs))
+            new_b, new_w, rolled = rollup_epochs(
+                base, watermark, set(ledger) | set(epochs)
+            )
             # unset rolled-up keys EXCEPT a recent window (their
-            # membership is already covered by `epoch < watermark`;
-            # keeping the tail preserves commit_log's snapshot->epoch
-            # attribution for the latest-jobs queries), and sweep stale
-            # keys a crash between SET and UNSET left behind earlier
+            # membership is already covered by the [base, watermark)
+            # range; keeping the tail preserves commit_log's
+            # snapshot->epoch attribution for the latest-jobs queries),
+            # and sweep stale keys a crash between SET and UNSET left
+            # behind earlier. Keys BELOW base are genuine out-of-order
+            # members, never covered by the range — never swept.
             keep_floor = new_w - self.KEEP_RECENT_EPOCHS
             drop = sorted(
-                {e for e in rolled if e < keep_floor}
-                | {e for e in ledger if e < min(watermark, keep_floor)}
+                {e for e in rolled if new_b <= e < keep_floor}
+                | {e for e in ledger if new_b <= e < min(watermark, keep_floor)}
             )
+            if new_b != base:
+                self.spark.sql(base_property_sql(self.identifier, new_b))
             if new_w > watermark:
                 self.spark.sql(watermark_property_sql(self.identifier, new_w))
             for i in range(0, len(drop), 100):  # bounded statements

@@ -158,44 +158,72 @@ class CommitResult:
 
 
 class EpochSet:
-    """Applied-epoch membership: everything below ``watermark`` plus an
-    explicit sparse set. Contiguous-from-zero epoch streams (the normal
-    CDC replay) compact to a single integer no matter how long the
-    history; out-of-band keys (e.g. streaming ledger keys at 10^9) stay
-    explicit and are bounded by the run that created them."""
+    """Applied-epoch membership: everything in ``[base, watermark)``
+    plus an explicit sparse set. CONTIGUOUS epoch streams — the normal
+    CDC replay, wherever their numbering starts (0, 1, or a mid-binlog
+    resume at 10^6) — compact to two integers no matter how long the
+    history: the first rollup anchors ``base`` at the lowest applied
+    epoch, and ``watermark`` advances over the contiguous run above it.
+    Out-of-band keys (streaming ledger keys at 10^9, genuinely
+    out-of-order arrivals below ``base``) stay explicit and are bounded
+    by the run that created them. Anchoring at the observed minimum —
+    never assuming epoch 0 exists — keeps membership exact: an epoch
+    below ``base`` is NOT claimed applied, so a late replay of an older
+    binlog segment still applies instead of being silently skipped."""
 
-    __slots__ = ("watermark", "explicit")
+    __slots__ = ("watermark", "explicit", "base")
 
-    def __init__(self, watermark: int = 0, explicit: set[int] | None = None):
+    def __init__(
+        self,
+        watermark: int = 0,
+        explicit: set[int] | None = None,
+        base: int = 0,
+    ):
         self.watermark = int(watermark)
         self.explicit = {int(e) for e in (explicit or ())}
+        self.base = int(base)
 
     def __contains__(self, e) -> bool:
         e = int(e)
-        return e < self.watermark or e in self.explicit
+        return self.base <= e < self.watermark or e in self.explicit
 
     def __iter__(self) -> Iterator[int]:
-        yield from range(self.watermark)
+        yield from range(self.base, self.watermark)
         yield from sorted(self.explicit)
 
     def __len__(self) -> int:
-        return self.watermark + len(self.explicit)
+        return max(0, self.watermark - self.base) + len(self.explicit)
 
     def __bool__(self) -> bool:
-        return self.watermark > 0 or bool(self.explicit)
+        return self.watermark > self.base or bool(self.explicit)
 
 
 def _epoch_set(props: dict[str, Any]) -> EpochSet:
-    return EpochSet(props.get("epochs_watermark", 0), props.get("epochs", []))
+    # epochs_base defaults to 0: tables persisted before the base was
+    # introduced carried a zero-anchored watermark, identical semantics
+    return EpochSet(
+        props.get("epochs_watermark", 0),
+        props.get("epochs", []),
+        props.get("epochs_base", 0),
+    )
 
 
 def _store_epochs(props: dict[str, Any], es: EpochSet) -> None:
     """Advance the watermark over the contiguous prefix and store the
-    remainder sparsely — O(new epochs) per commit, O(gaps) storage."""
-    w, s = es.watermark, set(es.explicit)
+    remainder sparsely — O(new epochs) per commit, O(gaps) storage.
+    While no contiguous run exists yet (watermark == base), the first
+    store anchors both at the LOWEST epoch seen, so a stream numbered
+    from anywhere compacts instead of growing one explicit entry per
+    epoch forever (and, downstream, instead of permanently disabling
+    the tombstone-GC low-water-mark argument, which only needs
+    contiguity — not zero-based numbering)."""
+    b, w, s = es.base, es.watermark, set(es.explicit)
+    if w <= b and s:
+        b = w = min(s)
     while w in s:
         s.discard(w)
         w += 1
+    props["epochs_base"] = b
     props["epochs_watermark"] = w
     props["epochs"] = sorted(s)
 
@@ -294,7 +322,12 @@ class SnapshotTable:
             "merge_mode": merge_mode,
             "ledger_keep": ledger_keep,
             "manifests": manifests,
-            "properties": {"epochs_watermark": 0, "epochs": [], "commits": []},
+            "properties": {
+                "epochs_base": 0,
+                "epochs_watermark": 0,
+                "epochs": [],
+                "commits": [],
+            },
             "checkpoint_file": None,
         }
         t._commit_snapshot(snap)

@@ -54,6 +54,14 @@ def main() -> None:
     ap.add_argument("--workdir", default="/tmp/replay_job")
     ap.add_argument("--cpus", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
     args = ap.parse_args()
+    if args.table_format == "iceberg" and args.merge_mode != "cow":
+        # IcebergTable delegates merge strategy to Iceberg itself:
+        # silently ignoring the flag would hand a user CoW MERGEs while
+        # they believe they are A/B-testing merge-on-read
+        ap.error(
+            "--merge-mode applies to SnapshotTable only; for Iceberg set the "
+            "table property write.merge.mode=merge-on-read instead"
+        )
 
     from etl_gmaps_spark.schemas import TARGET_SCHEMA
     from etl_gmaps_spark.session import get_spark

@@ -26,29 +26,39 @@ from etl_gmaps_spark.tableio.iceberg_table import rollup_epochs
 
 
 @given(
+    base=st.integers(min_value=0, max_value=50),
+    # watermark < base is the crash-between-stamps state: legal input
     watermark=st.integers(min_value=0, max_value=50),
     applied=st.sets(st.integers(min_value=0, max_value=100), max_size=40),
 )
-def test_rollup_epochs_invariants(watermark, applied):
-    new_w, drop = rollup_epochs(watermark, applied)
-    assert new_w >= watermark
-    # dropped keys are exactly the contiguous walk [watermark, new_w)
-    assert drop == list(range(watermark, new_w))
-    # membership preserved: e applied before <=> e applied after
-    def member(e, w, s):
-        return e < w or e in s
+def test_rollup_epochs_invariants(base, watermark, applied):
+    state = (base, watermark, applied)
+    watermark = max(watermark, base)  # what rollup itself resumes from
+    new_b, new_w, drop = rollup_epochs(*state)
+    assert new_w >= new_b
+    anchored = watermark == base and applied  # first-rollup anchor fired
+    if anchored:
+        assert new_b == min(applied)
+    else:
+        assert (new_b, new_w >= watermark) == (base, True)
+    # dropped keys are exactly the contiguous walk up to the new mark
+    assert drop == list(range(new_w - len(drop), new_w))
+    # membership EXACT for every key: applied-before <=> applied-after.
+    # This is the property the base anchor buys — the [base, watermark)
+    # range only ever covers keys the caller actually claimed applied,
+    # unlike a zero-anchored watermark, which asserts coverage of
+    # [0, watermark) unconditionally.
+    def member(e, b, w, s):
+        return b <= e < w or e in s
     remaining = set(applied) - set(drop)
     for e in range(0, 102):
-        before = member(e, watermark, applied)
-        after = member(e, new_w, remaining)
-        # rollup may only ADD coverage below the old watermark (keys the
-        # caller never claimed applied but the watermark asserts); for
-        # every key >= old watermark the two must agree exactly
-        if e >= watermark:
-            assert before == after, (e, watermark, new_w)
-    # the walk stopped for a reason: the key at the new watermark is not
-    # applied
-    assert not member(new_w, watermark, applied) or new_w > 100
+        assert member(e, base, watermark, applied) == member(
+            e, new_b, new_w, remaining
+        ), (e, state)
+    # the walk stopped for a reason: the key at the new watermark was
+    # not applied in the ORIGINAL state (all-original args — mixing new
+    # and old marks asks a meaningless question)
+    assert not member(new_w, base, watermark, applied) or new_w > 100
 
 
 _mutations = st.lists(

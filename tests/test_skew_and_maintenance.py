@@ -406,14 +406,22 @@ def test_iceberg_epoch_rollup_arithmetic():
     from etl_gmaps_spark.tableio.iceberg_table import rollup_epochs
 
     # contiguous from zero: everything rolls
-    assert rollup_epochs(0, {0, 1, 2, 3}) == (4, [0, 1, 2, 3])
+    assert rollup_epochs(0, 0, {0, 1, 2, 3}) == (0, 4, [0, 1, 2, 3])
     # resumes from a prior watermark
-    assert rollup_epochs(4, {4, 5}) == (6, [4, 5])
+    assert rollup_epochs(0, 4, {4, 5}) == (0, 6, [4, 5])
     # a gap stops the walk; the tail stays sparse
-    assert rollup_epochs(0, {0, 1, 3}) == (2, [0, 1])
-    # nothing contiguous: no-op
-    assert rollup_epochs(0, {5, 9}) == (0, [])
-    assert rollup_epochs(2, set()) == (2, [])
+    assert rollup_epochs(0, 0, {0, 1, 3}) == (0, 2, [0, 1])
+    # NOT zero-based: the first rollup anchors base at the lowest
+    # applied epoch instead of keeping one property per epoch forever
+    # (r5 review: an epoch-1-based or mid-binlog-resumed stream)
+    assert rollup_epochs(0, 0, {1, 2, 3}) == (1, 4, [1, 2, 3])
+    assert rollup_epochs(0, 0, {5000, 5001, 5003}) == (5000, 5002, [5000, 5001])
+    # anchored base persists; later epochs extend the same run
+    assert rollup_epochs(5000, 5002, {5002, 5003}) == (5000, 5004, [5002, 5003])
+    # an arrival BELOW the anchored base never moves it (membership for
+    # [base, watermark) must stay exact) — it stays sparse
+    assert rollup_epochs(5000, 5004, {0}) == (5000, 5004, [])
+    assert rollup_epochs(2, 2, set()) == (2, 2, [])
 
 
 def test_iceberg_end_to_end_when_runtime_present(spark, tmp_path):
@@ -478,3 +486,113 @@ def test_iceberg_verify_harness_is_live():
     assert "ICEBERG VERIFY: PASS" not in res.stdout
     err = res.stderr + res.stdout
     assert "Cannot find catalog plugin" in err or "ClassNotFound" in err, err[-800:]
+
+
+def test_epoch_set_anchors_base_at_lowest_epoch():
+    """Regression (r5 review #1/#2 root cause): the applied-epoch ledger
+    was hard-anchored at zero, so a stream numbered from 1 (or resumed
+    mid-binlog) kept one explicit entry per epoch forever — O(epochs)
+    metadata, and a permanently 'gapped' ledger that disabled tombstone
+    GC. The first store now anchors base at the LOWEST epoch seen."""
+    from etl_gmaps_spark.tableio.snapshot_table import _epoch_set, _store_epochs
+
+    props: dict = {}
+    es = _epoch_set(props)
+    es.explicit.update([5000, 5001])
+    _store_epochs(props, es)
+    assert (props["epochs_base"], props["epochs_watermark"], props["epochs"]) == (
+        5000, 5002, []
+    )
+    es2 = _epoch_set(props)
+    assert 5000 in es2 and 5001 in es2
+    # epochs below base are NOT claimed applied — a late replay of an
+    # older binlog segment must still apply, not be silently skipped
+    assert 4999 not in es2 and 0 not in es2
+    assert len(es2) == 2 and list(es2) == [5000, 5001]
+    # a genuinely below-base arrival stays explicit; base never moves
+    es2.explicit.add(10)
+    _store_epochs(props, es2)
+    assert props["epochs_base"] == 5000 and props["epochs"] == [10]
+    es3 = _epoch_set(props)
+    assert 10 in es3 and 11 not in es3 and 4999 not in es3
+    # the contiguous run above base keeps compacting to two integers
+    es3.explicit.update([5002, 5003])
+    _store_epochs(props, es3)
+    assert props["epochs_watermark"] == 5004 and props["epochs"] == [10]
+    # tables persisted BEFORE the base existed read as zero-anchored
+    legacy = {"epochs_watermark": 4, "epochs": [7]}
+    es4 = _epoch_set(legacy)
+    assert 0 in es4 and 3 in es4 and 7 in es4 and 5 not in es4
+
+
+def test_gc_fires_on_one_based_epoch_stream(spark, tmp_path):
+    """Regression (r5 review #1): a delete-heavy changelog whose epochs
+    do not start at zero must still (a) compact its ledger via the base
+    anchor and (b) run tombstone GC — the gap check reads explicit
+    entries, which the old zero-anchored watermark accumulated forever
+    on such streams, silently disabling GC."""
+    base = gen_base(spark, n_docs=400, seed=79)
+    log = gen_changelog(
+        spark, n_docs=400, n_events=1500, seed=79, epoch_size=150,
+        pct_insert=10, pct_delete=50, hot_frac=0.0, dup_epochs=(),
+    ).withColumn("epoch", F.col("epoch") + F.lit(100))
+    expected = replay_oracle(base.toPandas(), log.toPandas())
+    table = SnapshotTable.create(
+        spark, str(tmp_path / "t"), TARGET_SCHEMA, base_df=base, merge_mode="mor"
+    )
+    rep = Replayer(table, gc_every=3, gc_tombstone_ratio=0.1)
+    rep.run(log)
+    assert_table_equal(table.read(), expected)
+    es = table.applied_epochs()
+    assert es.base == 100 and es.watermark == 110 and not es.explicit, (
+        es.base, es.watermark, es.explicit,
+    )
+    assert [c for c in table.commit_log() if "gc_tombstones_before" in c], (
+        "non-zero-based epoch numbering disabled the GC cadence"
+    )
+    # is_done honours the base bound: the applied range never covers
+    # epochs below it, so the same events renumbered lower read PENDING
+    assert rep.is_done(log)
+    assert not rep.is_done(log.withColumn("epoch", F.col("epoch") - F.lit(100)))
+
+
+def test_gc_tick_skips_stats_without_new_deletes(spark, tmp_path):
+    """r5 review: every GC tick ran tombstone_stats — a full-table
+    aggregation — even on insert/update-only replays where it can plan
+    nothing. The Replayer now counts deletes since the last check: the
+    first tick still checks (a fresh Replayer cannot know what a prior
+    run left behind), then zero new deletes means zero new eligible
+    tombstone mass, so the tick is free."""
+    base = gen_base(spark, n_docs=200, seed=81)
+    log = gen_changelog(
+        spark, n_docs=200, n_events=800, seed=81, epoch_size=100,
+        pct_insert=30, pct_delete=0, dup_epochs=(),
+    )
+    table = SnapshotTable.create(
+        spark, str(tmp_path / "t"), TARGET_SCHEMA, base_df=base, merge_mode="mor"
+    )
+    calls: list[int] = []
+    orig = table.maintain
+
+    def counting_maintain(*a, **k):
+        calls.append(1)
+        return orig(*a, **k)
+
+    table.maintain = counting_maintain
+    # auto_compact=False: MoR auto-compaction calls maintain() after
+    # every commit on its own (metadata-only) cadence — counting those
+    # would drown the GC ticks this test isolates
+    rep = Replayer(table, gc_every=1, gc_tombstone_ratio=0.1, auto_compact=False)
+    rep.run(log)
+    assert len(calls) == 1, f"{len(calls)} maintenance checks for 8 delete-free commits"
+    # a delete-bearing tail re-arms the gate on the SAME Replayer; its
+    # epochs continue the run (a +1000 jump would gap the ledger, and
+    # the explicit-epochs guard — correctly — refuses to GC a gapped one)
+    tail = gen_changelog(
+        spark, n_docs=200, n_events=300, seed=82, epoch_size=100,
+        pct_insert=5, pct_delete=60, hot_frac=0.0, dup_epochs=(),
+    ).withColumn("epoch", F.col("epoch") + F.lit(8)).withColumn(
+        "lsn", F.col("lsn") + F.lit(10_000_000)
+    )
+    rep.run(tail)
+    assert len(calls) >= 2, "deletes arrived but the gate never re-checked"

@@ -156,20 +156,27 @@ def main() -> int:
         ("no-op merge: not misattributed", it.commit_log(latest=1)[0]["epochs"] == [2])
     )
 
-    # ledger rollup: a contiguous-from-zero epoch stream advances the
-    # watermark and keeps O(gaps + recent window) properties (the
+    # ledger rollup: this stream is numbered from 1 (no epoch 0 ever) —
+    # the first rollup anchors cdc.epoch.base at the LOWEST applied
+    # epoch, the watermark advances over the contiguous run above it,
+    # and the ledger keeps O(gaps + recent window) properties (the
     # KEEP_RECENT_EPOCHS attribution tail), not one per epoch forever
+    eb, wm, _ = it._epoch_ledger()
+    checks.append(("rollup anchors base at lowest epoch", eb == 1))
+    checks.append(("rollup watermark", wm == 4))
     it.KEEP_RECENT_EPOCHS = 0  # force full rollup so the unset path runs
     it.merge(
         spark.createDataFrame(
             [("doc-0004", 77, "src9", "fr", "U")],
             "doc_id string, n_tok int, source string, lang string, op string",
         ),
-        epoch=0,  # fills the gap: {0,1,2,3} is now contiguous from zero
+        epoch=0,  # BELOW base: a late replay of an older binlog segment
     )
-    wm, sparse = it._epoch_ledger()
-    checks.append(("rollup watermark", wm == 4))
-    checks.append(("rollup unsets stamps", sparse == {}))
+    eb, wm, sparse = it._epoch_ledger()
+    checks.append(("below-base epoch applies, base unchanged", eb == 1 and wm == 4))
+    # rolled-up stamps in [base, watermark) are unset (KEEP=0); the
+    # below-base member is NOT covered by the range, so its stamp stays
+    checks.append(("rollup unsets covered stamps only", set(sparse) == {0}))
     applied = it.applied_epochs()
     checks.append(("rollup membership", all(e in applied for e in (0, 1, 2, 3))))
 
@@ -185,12 +192,12 @@ def main() -> int:
         "doc_id string, n_tok int, source string, lang string, op string",
     )
     it.merge(batch_g, epoch=[10, 11])
-    snap10 = it._epoch_ledger()[1][10][0]
+    snap10 = it._epoch_ledger()[2][10][0]
     checks.append(("grouped stamp attribution", snap10 != 0))
     spark.sql(unset_epochs_sql(ident, [11]))  # simulate the mid-stamp crash
     it.merge(batch_g, epoch=[10, 11])  # resume
     checks.append(
-        ("partial-stamp resume keeps attribution", it._epoch_ledger()[1][10][0] == snap10)
+        ("partial-stamp resume keeps attribution", it._epoch_ledger()[2][10][0] == snap10)
     )
     checks.append(("partial-stamp resume applies tail", 11 in it.applied_epochs()))
 
