@@ -46,10 +46,19 @@ def get_spark(
     else:
         master = f"local[{cpus}]"
         total_cores = cpus
+    # Under spark-submit the launcher owns the master (--master yarn /
+    # k8s / local-cluster) and has already sized the driver JVM; a
+    # hard-coded .master() here would silently turn a cluster submit
+    # into a local run. Library-embedded use (tests, bench, plain
+    # `python jobs/...`) has no spark.master property and keeps the
+    # local default above.
+    from pyspark import SparkConf
+
+    submitted = SparkConf(loadDefaults=True).contains("spark.master")
     shuffle_partitions = shuffle_partitions or total_cores
+    builder = SparkSession.builder if submitted else SparkSession.builder.master(master)
     builder = (
-        SparkSession.builder.master(master)
-        .appName(app_name)
+        builder.appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
