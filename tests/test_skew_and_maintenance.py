@@ -596,3 +596,76 @@ def test_gc_tick_skips_stats_without_new_deletes(spark, tmp_path):
     )
     rep.run(tail)
     assert len(calls) >= 2, "deletes arrived but the gate never re-checked"
+
+
+def test_spark_submit_py_files_end_to_end(tmp_path):
+    """North-rule launch mode, executed: spark-submit --py-files over a
+    REAL multi-executor-JVM master (local-cluster). The job file is
+    copied outside the repo and PYTHONPATH is stripped, so every
+    etl_gmaps_spark import must resolve through the shipped zip — the
+    exact packaging a cluster submit uses. Also guards get_spark's
+    deference to a launcher-provided spark.master: before that fix a
+    hard-coded .master(local[n]) silently turned a cluster submit into
+    a local run. Second submit of the same log proves the epoch ledger
+    survives the launcher round-trip (exactly-once resume). Spins two
+    private JVMs, ~2 min."""
+    import json
+    import shutil
+    import subprocess
+    import zipfile
+
+    submit = shutil.which("spark-submit")
+    if submit is None:
+        import pytest
+
+        pytest.skip("spark-submit not on PATH")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    zip_path = str(tmp_path / "etl_gmaps_spark.zip")
+    with zipfile.ZipFile(zip_path, "w") as z:
+        pkg = os.path.join(repo, "etl_gmaps_spark")
+        for root, dirs, files in os.walk(pkg):
+            dirs[:] = [d for d in dirs if d != "__pycache__"]
+            for f in files:
+                if f.endswith(".py"):
+                    p = os.path.join(root, f)
+                    z.write(p, os.path.relpath(p, repo))
+    job = str(tmp_path / "replay_job.py")
+    shutil.copy(os.path.join(repo, "jobs", "replay_job.py"), job)
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    env["SPARK_GRAFT_DRIVER_MEM"] = "2g"
+    workdir = str(tmp_path / "work")
+    cmd = [
+        submit, "--master", "local-cluster[2,1,1024]", "--driver-memory", "2g",
+        "--py-files", zip_path, job,
+        "--generate", "20000", "--workdir", workdir,
+        "--n-buckets", "4", "--merge-mode", "mor", "--cpus", "1",
+    ]
+
+    def last_json(stdout: str) -> dict:
+        lines = [l for l in stdout.splitlines() if l.startswith("{")]
+        assert lines, stdout[-800:]
+        return json.loads(lines[-1])
+
+    res = subprocess.run(
+        cmd, capture_output=True, text=True, cwd=str(tmp_path), env=env, timeout=600
+    )
+    assert res.returncode == 0, (res.stdout[-500:], res.stderr[-1500:])
+    first = last_json(res.stdout)
+    assert first["epochs_applied"] == 4 and first["epochs_skipped"] == 0, first
+    assert first["final_rows"] > 0
+
+    resume = [
+        submit, "--master", "local-cluster[2,1,1024]", "--driver-memory", "2g",
+        "--py-files", zip_path, job,
+        "--log", os.path.join(workdir, "log"),
+        "--table", os.path.join(workdir, "table"),
+        "--n-buckets", "4", "--merge-mode", "mor", "--cpus", "1",
+    ]
+    res2 = subprocess.run(
+        resume, capture_output=True, text=True, cwd=str(tmp_path), env=env, timeout=600
+    )
+    assert res2.returncode == 0, (res2.stdout[-500:], res2.stderr[-1500:])
+    second = last_json(res2.stdout)
+    assert second["epochs_applied"] == 0 and second["epochs_skipped"] == 4, second
+    assert second["final_rows"] == first["final_rows"]
+    assert second["snapshot"] == first["snapshot"]  # no new commits
