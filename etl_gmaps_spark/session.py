@@ -49,12 +49,21 @@ def get_spark(
     # Under spark-submit the launcher owns the master (--master yarn /
     # k8s / local-cluster) and has already sized the driver JVM; a
     # hard-coded .master() here would silently turn a cluster submit
-    # into a local run. Library-embedded use (tests, bench, plain
-    # `python jobs/...`) has no spark.master property and keeps the
-    # local default above.
-    from pyspark import SparkConf
-
-    submitted = SparkConf(loadDefaults=True).contains("spark.master")
+    # into a local run (builder .master() OVERRIDES the launcher's
+    # spark.master system property — measured: submit --master
+    # local-cluster[2,1,1024] + builder.master(local[1]) runs local[1]).
+    # Detection must happen BEFORE any JVM exists, so conf lookups are
+    # useless (SparkConf falls back to an empty python dict until the
+    # gateway is up). The reliable pre-JVM signal is the launcher's own
+    # handshake: spark-submit's PythonRunner starts the py4j gateway and
+    # hands its port to the python driver via PYSPARK_GATEWAY_PORT
+    # (python/pyspark/java_gateway.py `launch_gateway`); embedded use
+    # (tests, bench, plain `python jobs/...`) never has it and keeps the
+    # local default above. PYSPARK_SUBMIT_ARGS covers the other
+    # launcher-owned path (a user-provisioned embedded gateway).
+    submitted = "PYSPARK_GATEWAY_PORT" in os.environ or "--master" in os.environ.get(
+        "PYSPARK_SUBMIT_ARGS", ""
+    )
     shuffle_partitions = shuffle_partitions or total_cores
     builder = SparkSession.builder if submitted else SparkSession.builder.master(master)
     builder = (

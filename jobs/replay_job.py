@@ -113,7 +113,7 @@ def main() -> None:
             spark, log_path, table, os.path.join(args.workdir, "stream_ckpt"),
             schema=schema, auto_compact=not args.no_auto_compact,
         )
-        print(json.dumps({"mode": "stream", **res}))
+        print(json.dumps({"mode": "stream", "master": spark.sparkContext.master, **res}))
     else:
         log = spark.read.parquet(log_path)
         m = Replayer(
@@ -125,6 +125,10 @@ def main() -> None:
             json.dumps(
                 {
                     "mode": "batch",
+                    # actual master, so a cluster submit is verifiable
+                    # from the output (a builder .master() override once
+                    # silently turned local-cluster submits into local)
+                    "master": spark.sparkContext.master,
                     "events": m.events_processed,
                     "events_per_sec": round(m.events_per_sec, 1),
                     "epochs_applied": m.epochs_applied,

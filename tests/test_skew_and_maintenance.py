@@ -651,6 +651,10 @@ def test_spark_submit_py_files_end_to_end(tmp_path):
     )
     assert res.returncode == 0, (res.stdout[-500:], res.stderr[-1500:])
     first = last_json(res.stdout)
+    # the launcher's master must survive get_spark: a builder .master()
+    # override once silently turned this cluster submit into local[1]
+    # while every functional assertion below still passed
+    assert first["master"] == "local-cluster[2,1,1024]", first
     assert first["epochs_applied"] == 4 and first["epochs_skipped"] == 0, first
     assert first["final_rows"] > 0
 
