@@ -64,10 +64,55 @@ def get_spark(
     submitted = "PYSPARK_GATEWAY_PORT" in os.environ or "--master" in os.environ.get(
         "PYSPARK_SUBMIT_ARGS", ""
     )
+    if submitted:
+        # The launcher's authority extends past the master (r5 review):
+        # --conf values it set must survive, and static confs (driver
+        # memory, extraJavaOptions, local dirs) are its alone — the
+        # driver JVM already exists, so setting them here is at best a
+        # silent no-op and at worst a clobber. Create the session bare
+        # (plus caller-explicit extra_conf, which intentionally wins),
+        # then fill ONLY the engine's sql-runtime tunables the launcher
+        # did not provide — sparkContext.getConf() holds exactly the
+        # explicitly-set entries (--conf + spark-defaults.conf), so
+        # "launcher set it" is directly testable post-creation.
+        builder = SparkSession.builder.appName(app_name)
+        for key, val in (extra_conf or {}).items():
+            builder = builder.config(key, val)
+        spark = builder.getOrCreate()
+        launcher = spark.sparkContext.getConf()
+        mb = int(os.environ.get("SPARK_GRAFT_BROADCAST_MB", "64")) * 1024 * 1024
+        defaults = {
+            "spark.sql.adaptive.enabled": "true",
+            "spark.sql.adaptive.coalescePartitions.enabled": "true",
+            "spark.sql.adaptive.skewJoin.enabled": "true",
+            "spark.sql.execution.arrow.pyspark.enabled": "true",
+            "spark.sql.autoBroadcastJoinThreshold": str(mb),
+            "spark.sql.adaptive.autoBroadcastJoinThreshold": str(mb),
+            "spark.sql.session.timeZone": "UTC",
+            "spark.sql.files.maxPartitionBytes": os.environ.get(
+                "SPARK_GRAFT_MAX_PARTITION_BYTES", "33554432"
+            ),
+        }
+        for key, val in defaults.items():
+            if not launcher.contains(key) and key not in (extra_conf or {}):
+                spark.conf.set(key, val)
+        if shuffle_partitions is not None:
+            # caller-explicit sizing (bench protocol) still wins
+            spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        elif not launcher.contains("spark.sql.shuffle.partitions"):
+            # cluster-aware default: one shuffle wave over the REAL
+            # executor cores the launcher provisioned, not the local
+            # CPU env var
+            spark.conf.set(
+                "spark.sql.shuffle.partitions",
+                str(spark.sparkContext.defaultParallelism),
+            )
+        spark.sparkContext.setLogLevel("WARN")
+        return spark
     shuffle_partitions = shuffle_partitions or total_cores
-    builder = SparkSession.builder if submitted else SparkSession.builder.master(master)
     builder = (
-        builder.appName(app_name)
+        SparkSession.builder.master(master)
+        .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -58,6 +58,12 @@ class ReplayMetrics:
     epochs_skipped: int = 0
     events_processed: int = 0
     rows_upserted: int = 0
+    # events refused because their lsn is below the table's GC horizon:
+    # the tombstones that would have guarded them were physically
+    # collected, so applying them could resurrect deleted keys. Stale
+    # by the table's own contract (state is complete through the
+    # horizon); counted, never silently applied.
+    events_stale_dropped: int = 0
     elapsed_sec: float = 0.0
     per_epoch: list[dict] = field(default_factory=list)
     # REPLAY_PROFILE=1 only: wall-seconds summed over all commits, split
@@ -120,14 +126,17 @@ class Replayer:
         # fresh Replayer may face tombstones a PREVIOUS run left, so
         # the first cadence tick always checks); afterwards an
         # insert/update-only replay skips the tombstone_stats
-        # aggregation entirely — zero new deletes cannot raise any
-        # bucket's eligible tombstone mass above where the last check
-        # found it. (Deletes applied before a check whose lsn exceeded
-        # the then low-water mark become eligible later without new
-        # deletes arriving; that bounded residue is collected on the
-        # first tick after the next delete, or by an explicit
-        # maintain() call.)
+        # aggregation — but ONLY while the last check saw no
+        # above-the-mark residue (_gc_residue): tombstones whose lsn
+        # exceeded the then low-water mark become eligible later as the
+        # mark advances, without any new delete arriving, so skipping
+        # on "no new deletes" alone would defer their collection
+        # forever on a delete-burst-then-insert-only workload.
         self._gc_deletes: int | None = None
+        # True = the last GC check saw tombstones above its low-water
+        # mark (they WILL become eligible as the mark advances); False =
+        # it saw none; None = no check has run yet (always check).
+        self._gc_residue: bool | None = None
         self._ckpt: dict[int, dict] | None = None  # partition -> lineage row
 
     def _merged_checkpoint_rows(self, stats: list[dict]) -> list[dict]:
@@ -179,6 +188,30 @@ class Replayer:
 
         snap = self.table.snapshot()
         n_buckets = snap["n_buckets"]
+
+        # GC-horizon guard: tombstones with lsn below the horizon have
+        # been physically collected (SnapshotTable.compact GC leg), or
+        # the sink deletes rows outright (Iceberg) — the row-level
+        # guard against stale re-insertion no longer exists below it.
+        # A late replay of an older, never-applied binlog segment could
+        # therefore resurrect deleted keys. Such events are stale by
+        # the table's own contract (its state is complete through the
+        # horizon: a mid-binlog bootstrap starts from a snapshot that
+        # already reflects them), so they are DROPPED and counted —
+        # never silently applied. Zero cost on the normal path: the
+        # filter and its counter only enter the plan when a horizon
+        # exists, and pending epochs' lsns all exceed it anyway.
+        stale_obs = None
+        pre_batch = None
+        horizon = int(getattr(self.table, "gc_horizon", lambda: 0)() or 0)
+        if horizon:
+            from pyspark.sql import Observation
+
+            pre_batch = batch
+            stale_obs = Observation()
+            batch = batch.observe(
+                stale_obs, F.count(F.lit(1)).alias("pre_rows")
+            ).filter(F.col(self.lsn_col) >= F.lit(horizon))
 
         # ONE full scan of the batch serves every pre-merge need
         # (VERDICT r1 #2 — the separate stats job and the merge job's
@@ -306,7 +339,26 @@ class Replayer:
         # output stays exact via the row-level lsn guard.
         # dup_obs rode the keyed-agg scan; the collect above makes it
         # available.
-        dup = dict(dup_obs.get)
+        try:
+            dup = dict(dup_obs.get)
+        except Exception:
+            # pyspark quirk (measured on 4.1): when the keyed
+            # aggregation collects ZERO groups — every event in the
+            # batch dropped by the horizon filter — no observation on
+            # the plan is retrievable (AssertionError from toPyRow).
+            # Zero groups means zero surviving rows, exactly.
+            dup = {"raw_rows": 0, "approx_rows": 0}
+        stale_dropped = 0
+        if stale_obs is not None:
+            # both observations rode the same completed scan; dropped =
+            # rows seen before the horizon filter minus rows after it
+            try:
+                pre_rows = int(dict(stale_obs.get)["pre_rows"] or 0)
+            except Exception:
+                # all-stale batch (same quirk): one narrow count on the
+                # pre-filter frame — off the hot path by construction
+                pre_rows = pre_batch.count()
+            stale_dropped = pre_rows - int(dup["raw_rows"] or 0)
         approx = dup["approx_rows"] or 1
         trip = max(0.4 * dup["raw_rows"] / (len(epochs) + 1), 0.03 * approx)
         if dup["raw_rows"] - approx > trip:
@@ -385,12 +437,21 @@ class Replayer:
                 )
             )
         # available as soon as the merge action finished (same job)
-        live = obs.get if obs is not None else {}
+        try:
+            live = obs.get if obs is not None else {}
+        except Exception:
+            # same zero-rows metrics quirk as the dup observation above
+            # (an all-stale batch merges an empty winner set)
+            live = {}
         return {
             "epoch": epochs[-1],
             "skipped": False,
             "events": events,
             "rows": events,
+            "stale_dropped": stale_dropped,
+            # batch high-water lsn: the horizon stamp for sinks whose
+            # deletes are immediate (no tombstone survives to guard)
+            "last_lsn": max((s["last_lsn"] for s in stats), default=None),
             "winners": int(live.get("winners") or 0),
             "deletes": int(live.get("deletes") or 0),
             "snapshot": res.snapshot_id,
@@ -440,8 +501,21 @@ class Replayer:
                 m.epochs_applied += len(group)
                 m.events_processed += info["events"]
                 m.rows_upserted += info["rows"]
+                m.events_stale_dropped += int(info.get("stale_dropped") or 0)
                 if self._gc_deletes is not None:
                     self._gc_deletes += int(info.get("deletes") or 0)
+                # sinks whose deletes remove the row outright (Iceberg)
+                # keep no tombstone to guard against a late replay of
+                # an older segment re-inserting the key: advance the
+                # persisted horizon to this batch's high-water lsn the
+                # moment a delete commits, so such events are dropped
+                # as stale instead (pending epochs all sit above it)
+                if (
+                    getattr(self.table, "deletes_are_immediate", False)
+                    and int(info.get("deletes") or 0) > 0
+                    and info.get("last_lsn") is not None
+                ):
+                    self.table.advance_gc_horizon(int(info["last_lsn"]))
                 # GC cadence rides the table's PERSISTENT snapshot
                 # version, not a run()-local commit counter: a driver
                 # that polls with max_epochs=K < gc_every (or builds a
@@ -478,49 +552,73 @@ class Replayer:
             # the row) and compaction is Iceberg's own
             # rewrite_data_files procedure on its own schedule
             return None
-        if self._gc_deletes == 0:
-            # no deletes applied since the last check: no bucket's
-            # eligible tombstone mass can have grown past where that
-            # check left it — skip the full-table aggregation. (Counter
-            # None = fresh Replayer, unknown prior state: fall through.)
+        if self._gc_deletes == 0 and self._gc_residue is False:
+            # no deletes since the last check AND that check saw no
+            # above-the-mark residue: no bucket's eligible tombstone
+            # mass can have changed — skip the full-table aggregation.
+            # (Either None = unknown prior state: fall through. Residue
+            # matters because an advancing low-water mark makes
+            # above-mark tombstones eligible without any new delete.)
             return None
-        # gapped ledger (out-of-order EXPLICIT epochs) = no safe
-        # low-water mark; see the docstring. A contiguous run anchored
-        # at a non-zero base (epoch-1-based stream, mid-binlog resume)
-        # compacts to explicit=∅ and passes — the safety argument needs
-        # contiguity, not zero-based numbering.
-        if self.table.applied_epochs().explicit:
+        # gapped IN-BAND ledger (an un-applied older segment may exist
+        # between applied runs) = no safe low-water mark; see the
+        # docstring. A single contiguous run anchored anywhere
+        # (epoch-1-based stream, mid-binlog resume) passes — the safety
+        # argument needs contiguity, not zero-based numbering — and
+        # out-of-band ledger keys (the streaming namespace at 10^9) are
+        # ignored: that gap is vacuous by construction.
+        if not self.table.applied_epochs().contiguous_in_band():
             return None
         ckpt = self._ckpt or {}
         lwm = min((int(r["last_lsn"]) for r in ckpt.values()), default=None)
         if not lwm:
             return None
         self._gc_deletes = 0
-        # piggyback the delta-chain legs only when auto-compaction is ON:
-        # with auto_compact=False this cadence must be GC-only (delta
-        # legs None), or it silently re-enables the compaction the
-        # caller turned off — corrupting policy-off A/B measurements and
-        # injecting compactions into timed replays
-        return self.table.maintain(
-            self.compact_max_chain if self.auto_compact else None,
-            self.compact_max_delta_ratio if self.auto_compact else None,
-            tombstone_ratio=self.gc_tombstone_ratio,
-            tombstone_before=lwm,
+        stats = self.table.tombstone_stats(before_lsn=lwm)
+        self._gc_residue = any(
+            s["dead_total"] > s["dead"] for s in stats.values()
         )
+        gc_buckets = [
+            b
+            for b, s in stats.items()
+            if s["dead"] > 0
+            and s["dead"] >= self.gc_tombstone_ratio * max(1, s["rows"])
+        ]
+        # piggyback the delta-chain legs only when auto-compaction is ON
+        # (metadata-only plan, no Spark job): with auto_compact=False
+        # this cadence must be GC-only, or it silently re-enables the
+        # compaction the caller turned off — corrupting policy-off A/B
+        # measurements and injecting compactions into timed replays
+        delta_buckets = (
+            self.table.maintenance_plan(
+                self.compact_max_chain, self.compact_max_delta_ratio
+            )
+            if self.auto_compact
+            else []
+        )
+        todo = sorted(set(gc_buckets) | set(delta_buckets))
+        if not todo:
+            return None
+        # eligible tombstones in delta-triggered buckets ride the
+        # rewrite for free — same pass, same low-water mark
+        return self.table.compact(buckets=todo, tombstones_before=lwm)
 
     def is_done(self, log: DataFrame) -> bool:
         """exiter.isDone analog: every epoch in the log is in the ledger.
 
-        The applied set is (watermark, sparse explicit) — after a long
+        The applied set is (ranges, sparse explicit) — after a long
         contiguous replay it is ONE integer, so the predicate pushed to
         the scan is a range test plus a small isin, never a 10^7-element
         literal list."""
         done = self.table.applied_epochs()
         if not done:
             return log.select(self.epoch_col).distinct().count() == 0
-        applied = (F.col(self.epoch_col) >= F.lit(done.base)) & (
-            F.col(self.epoch_col) < F.lit(done.watermark)
-        )
+        applied = F.lit(False)
+        for b, w in done.ranges:
+            applied = applied | (
+                (F.col(self.epoch_col) >= F.lit(int(b)))
+                & (F.col(self.epoch_col) < F.lit(int(w)))
+            )
         if done.explicit:
             applied = applied | F.col(self.epoch_col).isin([int(e) for e in done.explicit])
         remaining = log.select(self.epoch_col).distinct().filter(~applied).count()

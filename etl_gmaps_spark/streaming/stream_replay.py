@@ -29,7 +29,13 @@ from pyspark.sql import DataFrame, SparkSession
 from etl_gmaps_spark.streaming.replay import Replayer
 from etl_gmaps_spark.tableio.snapshot_table import SnapshotTable
 
-STREAM_EPOCH_BASE = 1_000_000_000  # streaming ledger keys live far above log epochs
+# Streaming ledger keys live in the reserved out-of-band namespace far
+# above log epochs; EpochSet keeps them as their own contiguous range
+# and the tombstone-GC contiguity argument ignores them (the gap
+# between the namespaces is vacuous by construction).
+from etl_gmaps_spark.tableio.snapshot_table import OUT_OF_BAND_EPOCH_BASE
+
+STREAM_EPOCH_BASE = OUT_OF_BAND_EPOCH_BASE
 
 
 def run_availablenow(

@@ -15,7 +15,11 @@ from typing import Any
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
-from etl_gmaps_spark.tableio.snapshot_table import CommitResult, EpochSet
+from etl_gmaps_spark.tableio.snapshot_table import (
+    CommitResult,
+    EpochSet,
+    _normalize_epochs,
+)
 
 
 def iceberg_available(spark: SparkSession) -> bool:
@@ -70,27 +74,34 @@ def epoch_property_sql(
     )
 
 
-def watermark_property_sql(identifier: str, watermark: int) -> str:
-    """Ledger rollup stamp: every epoch in ``[base, watermark)`` is
-    applied and its per-epoch property has been unset —
-    SnapshotTable.EpochSet parity, so a contiguous replay (whatever its
-    numbering starts at) keeps O(gaps) properties in table metadata
-    instead of one property per epoch forever."""
+def ranges_property_sql(identifier: str, ranges: list[tuple[int, int]]) -> str:
+    """Ledger rollup stamp: every epoch inside any half-open ``b:w``
+    range is applied and its per-epoch property may be unset —
+    SnapshotTable.EpochSet parity. One property, stamped in ONE atomic
+    ALTER, replaces the earlier base/watermark two-stamp protocol (no
+    crash window between two halves of the rollup). Each contiguous
+    replay — zero-based, 1-based, mid-binlog-resumed, or the streaming
+    ledger namespace at 10^9 — compacts to one ``b:w`` pair, so
+    metadata stays O(fragmentation) instead of one property per epoch
+    forever."""
+    packed = ",".join(f"{int(b)}:{int(w)}" for b, w in ranges)
     return (
         f"ALTER TABLE {identifier} SET TBLPROPERTIES "
-        f"('cdc.epoch.watermark'='{int(watermark)}')"
+        f"('cdc.epoch.ranges'='{packed}')"
     )
 
 
-def base_property_sql(identifier: str, base: int) -> str:
-    """Rollup anchor: the lowest epoch the watermark covers. Stamped
-    once, by the first rollup, at the lowest applied epoch — so a
-    stream numbered from 1 (or resumed mid-binlog at 10^6) rolls up
-    exactly like a zero-based one, and epochs below ``base`` are never
-    claimed applied."""
+def gc_horizon_property_sql(identifier: str, horizon: int) -> str:
+    """Stale-replay guard stamp (`cdc.gc.horizon`): Iceberg deletes
+    remove the row outright — no tombstone survives to reject a late
+    replay of an older binlog segment re-inserting a deleted key — so
+    after any delete-bearing commit the Replayer advances this horizon
+    to the batch's high-water lsn and drops lower-lsn events as stale
+    (SnapshotTable keeps real tombstones and only advances its horizon
+    when GC physically collects them)."""
     return (
         f"ALTER TABLE {identifier} SET TBLPROPERTIES "
-        f"('cdc.epoch.base'='{int(base)}')"
+        f"('cdc.gc.horizon'='{int(horizon)}')"
     )
 
 
@@ -136,30 +147,18 @@ def _decode_ckpt(partition: int, value: str) -> dict:
 
 
 def rollup_epochs(
-    base: int, watermark: int, applied: set[int]
-) -> tuple[int, int, list[int]]:
-    """Advance ``watermark`` over the contiguous run of ``applied``
-    above ``base``; returns (base, new_watermark, epochs_to_unset).
-    While no run exists yet (watermark <= base), anchors both at the
-    LOWEST applied epoch — EpochSet._store_epochs parity, so an
-    epoch-1-based or mid-binlog-resumed stream still compacts to two
-    integers instead of one property per epoch forever. Pure —
-    unit-tested in-sandbox, executed against a real catalog by
-    merge()."""
-    b, w, s = int(base), int(watermark), {int(e) for e in applied}
-    # watermark < base only after a crash between the base stamp and
-    # the watermark stamp: the base property is authoritative there —
-    # resume the walk from it (the unsets that could lose sparse
-    # members only run after BOTH stamps, so nothing is missing)
-    w = max(w, b)
-    if w == b and s:
-        b = w = min(s)
-    drop: list[int] = []
-    while w in s:
-        s.discard(w)
-        drop.append(w)
-        w += 1
-    return b, w, drop
+    ranges: list[tuple[int, int]], applied: set[int]
+) -> tuple[list[tuple[int, int]], set[int]]:
+    """Fold the applied-epoch keys into the range list: returns
+    ``(new_ranges, still_sparse)`` via EpochSet's normalizer — runs of
+    length >= 2 become/extend/MERGE ranges (a late-filled gap joins its
+    neighbors), singletons stay sparse. Every epoch key NOT in
+    ``still_sparse`` is covered by a range and its per-epoch property
+    may be unset. Pure — unit/property-tested in-sandbox, executed
+    against a real catalog by merge()."""
+    return _normalize_epochs(
+        [(int(b), int(w)) for b, w in ranges], {int(e) for e in applied}
+    )
 
 
 def merge_sql(
@@ -203,7 +202,7 @@ class IcebergTable:
     resumable, per-partition lineage) with no replay-loop changes.
 
     Ledger: `cdc.epoch.<epoch>` = `<snapshot_id>:<events>` properties
-    stamped after each MERGE, rolled up into `cdc.epoch.watermark`.
+    stamped after each MERGE, rolled up into `cdc.epoch.ranges`.
     Lineage: `cdc.ckpt.<partition>` properties (last_lsn, rows_applied,
     bytes, epoch, updated_at). Row-level LWW: the replay path stores
     the lsn column in the target and the MERGE arms carry a NULL-safe
@@ -212,8 +211,15 @@ class IcebergTable:
 
     # rolled-up epochs keep their per-epoch property for this many
     # recent epochs (commit_log attribution window); older ones are
-    # unset — membership is covered by the watermark alone
+    # unset — membership is covered by the ranges property alone
     KEEP_RECENT_EPOCHS = 64
+
+    # Iceberg MERGE deletes remove the row outright — no tombstone
+    # survives to reject a later stale re-insert. The Replayer reads
+    # this to advance the gc horizon after every delete-bearing commit
+    # (SnapshotTable keeps tombstones, so its horizon only advances
+    # when GC physically collects them).
+    deletes_are_immediate = True
 
     def __init__(self, spark: SparkSession, identifier: str):
         self.spark = spark
@@ -276,43 +282,71 @@ class IcebergTable:
     def schema(self) -> T.StructType:
         return self.read().schema
 
-    def _epoch_ledger(self) -> tuple[int, int, dict[int, tuple[int, int]]]:
-        """(base, watermark, {epoch: (snapshot_id, events)}) from the
+    def _epoch_ledger(
+        self,
+    ) -> tuple[list[tuple[int, int]], dict[int, tuple[int, int]]]:
+        """(ranges, {epoch: (snapshot_id, events)}) from the
         `cdc.epoch.*` table properties merge() stamps. SHOW
         TBLPROPERTIES is metadata-only (no data scan) and — unlike
         snapshot summaries — needs no write.wap.enabled or session conf
-        to round-trip. Bounded: merge() rolls the contiguous run up
-        into `cdc.epoch.base`/`cdc.epoch.watermark` (the first rollup
-        anchors base at the lowest applied epoch) and unsets the
-        rolled-up per-epoch keys, so a contiguous replay — zero-based,
-        1-based, or resumed mid-binlog — keeps two integer properties
-        no matter how many epochs applied (EpochSet parity; a gapped
-        stream keeps its sparse tail, bounded by the gaps)."""
-        base = watermark = 0
+        to round-trip. Bounded: merge() rolls contiguous runs up into
+        `cdc.epoch.ranges` (one ``b:w`` pair per run, whatever its
+        numbering — zero-based, 1-based, mid-binlog, or the streaming
+        namespace) and unsets the covered per-epoch keys, so metadata
+        stays O(fragmentation) no matter how many epochs applied
+        (EpochSet parity). Legacy `cdc.epoch.base`/`.watermark` pairs
+        from the earlier two-stamp protocol read back as one range."""
+        ranges: list[tuple[int, int]] = []
+        legacy_base = legacy_watermark = 0
         out: dict[int, tuple[int, int]] = {}
         for k, v in self._properties().items():
-            if not k.startswith("cdc.epoch."):
-                continue
-            suffix = k[len("cdc.epoch."):]
-            if suffix == "watermark":
-                watermark = int(v)
-                continue
-            if suffix == "base":
-                base = int(v)
-                continue
-            snap_s, _, ev_s = v.partition(":")
-            out[int(suffix)] = (int(snap_s), int(ev_s or 0))
-        return base, watermark, out
+            if k.startswith("cdc.epoch."):
+                suffix = k[len("cdc.epoch."):]
+                if suffix == "ranges":
+                    ranges = [
+                        (int(b), int(w))
+                        for b, _, w in (p.partition(":") for p in v.split(",") if p)
+                    ]
+                    continue
+                if suffix == "watermark":
+                    legacy_watermark = int(v)
+                    continue
+                if suffix == "base":
+                    legacy_base = int(v)
+                    continue
+                snap_s, _, ev_s = v.partition(":")
+                out[int(suffix)] = (int(snap_s), int(ev_s or 0))
+        if legacy_watermark > legacy_base:
+            # append, don't shadow: a table may carry both a legacy pair
+            # (pre-ranges commits) and the ranges property (post).
+            # Consumers normalize (EpochSet, rollup_epochs) or only
+            # test membership, so an unnormalized extra pair is safe —
+            # and a length-1 legacy range is never silently dropped.
+            ranges = ranges + [(legacy_base, legacy_watermark)]
+        return ranges, out
+
+    def gc_horizon(self) -> int:
+        """Highest lsn below which arriving events must be dropped as
+        stale (0 = no delete has ever been applied): their target keys
+        may have been deleted, and Iceberg keeps no tombstone to guard
+        the re-insert. See `gc_horizon_property_sql`."""
+        return int(self._properties().get("cdc.gc.horizon", 0))
+
+    def advance_gc_horizon(self, lsn: int) -> None:
+        cur = self.gc_horizon()
+        if int(lsn) > cur:
+            self.spark.sql(gc_horizon_property_sql(self.identifier, int(lsn)))
 
     def applied_epochs(self) -> EpochSet:
-        base, watermark, ledger = self._epoch_ledger()
-        # keys inside [base, watermark) are the retained attribution
-        # tail — already covered by the watermark; keeping them in
-        # `explicit` would double-count len()/iter()
+        ranges, ledger = self._epoch_ledger()
+        # keys inside a range are the retained attribution tail —
+        # already covered; keeping them in `explicit` would
+        # double-count len()/iter()
         return EpochSet(
-            watermark,
-            {e for e in ledger if not (base <= e < watermark)},
-            base,
+            ranges=ranges,
+            explicit={
+                e for e in ledger if not any(b <= e < w for b, w in ranges)
+            },
         )
 
     def commit_log(
@@ -399,10 +433,10 @@ class IcebergTable:
             else [int(epoch)] if isinstance(epoch, int)
             else [int(e) for e in epoch]
         )
-        base, watermark, ledger = self._epoch_ledger()
+        ranges, ledger = self._epoch_ledger()
 
         def _applied(e: int) -> bool:
-            return base <= e < watermark or e in ledger
+            return any(b <= e < w for b, w in ranges) or e in ledger
 
         # `epochs and`: an EMPTY epoch list is vacuously all-applied but
         # has no epochs[-1]; SnapshotTable treats it as an un-ledgered
@@ -464,29 +498,30 @@ class IcebergTable:
                         self.identifier, e, snap, events if e == epochs[-1] else 0
                     )
                 )
-            # roll the contiguous prefix into the watermark so the
-            # property ledger stays O(gaps), not O(epochs): without
-            # this, 10^5 epochs = 10^5 table properties and every
-            # merge's applied-check scans all of them
-            new_b, new_w, rolled = rollup_epochs(
-                base, watermark, set(ledger) | set(epochs)
-            )
-            # unset rolled-up keys EXCEPT a recent window (their
-            # membership is already covered by the [base, watermark)
-            # range; keeping the tail preserves commit_log's
-            # snapshot->epoch attribution for the latest-jobs queries),
-            # and sweep stale keys a crash between SET and UNSET left
-            # behind earlier. Keys BELOW base are genuine out-of-order
-            # members, never covered by the range — never swept.
-            keep_floor = new_w - self.KEEP_RECENT_EPOCHS
+            # roll contiguous runs into the ranges property so the
+            # per-epoch ledger stays O(fragmentation), not O(epochs):
+            # without this, 10^5 epochs = 10^5 table properties and
+            # every merge's applied-check scans all of them
+            new_ranges, _ = rollup_epochs(ranges, set(ledger) | set(epochs))
+            if new_ranges != sorted(ranges):
+                # ONE atomic stamp; a crash before the unsets below
+                # leaves covered keys standing — membership unchanged
+                # (range ∪ keys), swept by the next merge
+                self.spark.sql(ranges_property_sql(self.identifier, new_ranges))
+            # unset range-covered keys EXCEPT a recent window per range
+            # (their membership is already covered; keeping each
+            # range's newest tail preserves commit_log's
+            # snapshot->epoch attribution for the latest-jobs queries
+            # in EVERY ledger namespace — batch and streaming). Keys in
+            # no range are genuine sparse members — never swept.
             drop = sorted(
-                {e for e in rolled if new_b <= e < keep_floor}
-                | {e for e in ledger if new_b <= e < min(watermark, keep_floor)}
+                e
+                for e in set(ledger) | set(epochs)
+                if any(
+                    b <= e < w - self.KEEP_RECENT_EPOCHS
+                    for b, w in new_ranges
+                )
             )
-            if new_b != base:
-                self.spark.sql(base_property_sql(self.identifier, new_b))
-            if new_w > watermark:
-                self.spark.sql(watermark_property_sql(self.identifier, new_w))
             for i in range(0, len(drop), 100):  # bounded statements
                 self.spark.sql(unset_epochs_sql(self.identifier, drop[i : i + 100]))
         return CommitResult(-1, snap, -1, -1, epochs[-1] if epochs else None)

@@ -157,50 +157,120 @@ class CommitResult:
     prof: dict | None = None
 
 
-class EpochSet:
-    """Applied-epoch membership: everything in ``[base, watermark)``
-    plus an explicit sparse set. CONTIGUOUS epoch streams — the normal
-    CDC replay, wherever their numbering starts (0, 1, or a mid-binlog
-    resume at 10^6) — compact to two integers no matter how long the
-    history: the first rollup anchors ``base`` at the lowest applied
-    epoch, and ``watermark`` advances over the contiguous run above it.
-    Out-of-band keys (streaming ledger keys at 10^9, genuinely
-    out-of-order arrivals below ``base``) stay explicit and are bounded
-    by the run that created them. Anchoring at the observed minimum —
-    never assuming epoch 0 exists — keeps membership exact: an epoch
-    below ``base`` is NOT claimed applied, so a late replay of an older
-    binlog segment still applies instead of being silently skipped."""
+# Ledger keys at/above this value are OUT-OF-BAND: they are not log
+# epochs but parallel ledger namespaces (the Structured Streaming path
+# keys its micro-batches at OUT_OF_BAND_EPOCH_BASE + batch_id, see
+# streaming/stream_replay.py). The tombstone-GC contiguity argument
+# (Replayer._maybe_gc_tombstones) only quantifies over IN-BAND epochs:
+# a gap between the batch range and the streaming range is vacuous by
+# construction, not evidence of an un-applied older segment.
+OUT_OF_BAND_EPOCH_BASE = 1_000_000_000
 
-    __slots__ = ("watermark", "explicit", "base")
+
+def _normalize_epochs(
+    ranges: list[tuple[int, int]], explicit: set[int]
+) -> tuple[list[tuple[int, int]], set[int]]:
+    """Canonical minimal encoding of an applied-epoch set: merge the
+    half-open ``[b, w)`` ranges with the sparse members, coalescing
+    everything adjacent/overlapping; runs of length >= 2 come back as
+    ranges, singletons as sparse. O(|ranges| + |explicit| log) — both
+    are O(fragmentation), never O(epochs). Exact: the output represents
+    precisely the input membership, so nothing is ever claimed applied
+    that wasn't, and nothing applied is ever dropped."""
+    ivs = sorted(
+        [(int(b), int(w)) for b, w in ranges if int(w) > int(b)]
+        + [(int(e), int(e) + 1) for e in explicit]
+    )
+    merged: list[list[int]] = []
+    for b, w in ivs:
+        if merged and b <= merged[-1][1]:
+            merged[-1][1] = max(merged[-1][1], w)
+        else:
+            merged.append([b, w])
+    return (
+        [(b, w) for b, w in merged if w - b >= 2],
+        {b for b, w in merged if w - b == 1},
+    )
+
+
+class EpochSet:
+    """Applied-epoch membership: a small sorted list of half-open
+    ``[base, watermark)`` ranges plus an explicit sparse set. Every
+    CONTIGUOUS epoch stream — the normal CDC replay, wherever its
+    numbering starts (0, 1, a mid-binlog resume at 10^6, or the
+    streaming ledger namespace at 10^9) — compacts to ONE range no
+    matter how long the history, and *independent* contiguous streams
+    (batch epochs at 0.. plus streaming keys at 10^9..) each keep their
+    own range instead of one of them growing an explicit entry per
+    epoch forever. A late replay of an older segment fills its gap and
+    the ranges MERGE once adjacent, so membership is always exact: an
+    epoch in no range is NOT claimed applied and still applies.
+    Storage is O(fragmentation) — one integer pair per contiguous run,
+    never O(epochs)."""
+
+    __slots__ = ("ranges", "explicit")
 
     def __init__(
         self,
         watermark: int = 0,
         explicit: set[int] | None = None,
         base: int = 0,
+        ranges: list[tuple[int, int]] | None = None,
     ):
-        self.watermark = int(watermark)
-        self.explicit = {int(e) for e in (explicit or ())}
-        self.base = int(base)
+        if ranges is None:
+            ranges = [(int(base), int(watermark))] if int(watermark) > int(base) else []
+        self.ranges, self.explicit = _normalize_epochs(
+            ranges, {int(e) for e in (explicit or ())}
+        )
+
+    # base/watermark view the LOWEST range — the common single-range
+    # case reads exactly like the old two-integer encoding
+    @property
+    def base(self) -> int:
+        return self.ranges[0][0] if self.ranges else 0
+
+    @property
+    def watermark(self) -> int:
+        return self.ranges[0][1] if self.ranges else 0
+
+    def contiguous_in_band(self, bound: int = OUT_OF_BAND_EPOCH_BASE) -> bool:
+        """True when the IN-BAND applied epochs (< ``bound``) form one
+        contiguous run with no sparse stragglers — the shape the
+        tombstone-GC low-water-mark safety argument needs. Out-of-band
+        ledger keys (the streaming namespace) are ignored: the gap
+        between namespaces is vacuous, not an un-applied segment."""
+        return len([r for r in self.ranges if r[0] < bound]) <= 1 and not any(
+            e < bound for e in self.explicit
+        )
 
     def __contains__(self, e) -> bool:
         e = int(e)
-        return self.base <= e < self.watermark or e in self.explicit
+        return any(b <= e < w for b, w in self.ranges) or e in self.explicit
 
     def __iter__(self) -> Iterator[int]:
-        yield from range(self.base, self.watermark)
-        yield from sorted(self.explicit)
+        # ranges are disjoint and sorted; explicit members interleave
+        pending = sorted(self.explicit)
+        for b, w in self.ranges:
+            while pending and pending[0] < b:
+                yield pending.pop(0)
+            yield from range(b, w)
+        yield from pending
 
     def __len__(self) -> int:
-        return max(0, self.watermark - self.base) + len(self.explicit)
+        return sum(w - b for b, w in self.ranges) + len(self.explicit)
 
     def __bool__(self) -> bool:
-        return self.watermark > self.base or bool(self.explicit)
+        return bool(self.ranges) or bool(self.explicit)
 
 
 def _epoch_set(props: dict[str, Any]) -> EpochSet:
-    # epochs_base defaults to 0: tables persisted before the base was
-    # introduced carried a zero-anchored watermark, identical semantics
+    if "epoch_ranges" in props:
+        return EpochSet(
+            ranges=[(int(b), int(w)) for b, w in props["epoch_ranges"]],
+            explicit=props.get("epochs", []),
+        )
+    # legacy layouts: (base, watermark, sparse) from round 5 interim,
+    # or the round-4 zero-anchored watermark — identical semantics
     return EpochSet(
         props.get("epochs_watermark", 0),
         props.get("epochs", []),
@@ -209,23 +279,18 @@ def _epoch_set(props: dict[str, Any]) -> EpochSet:
 
 
 def _store_epochs(props: dict[str, Any], es: EpochSet) -> None:
-    """Advance the watermark over the contiguous prefix and store the
-    remainder sparsely — O(new epochs) per commit, O(gaps) storage.
-    While no contiguous run exists yet (watermark == base), the first
-    store anchors both at the LOWEST epoch seen, so a stream numbered
-    from anywhere compacts instead of growing one explicit entry per
-    epoch forever (and, downstream, instead of permanently disabling
-    the tombstone-GC low-water-mark argument, which only needs
-    contiguity — not zero-based numbering)."""
-    b, w, s = es.base, es.watermark, set(es.explicit)
-    if w <= b and s:
-        b = w = min(s)
-    while w in s:
-        s.discard(w)
-        w += 1
-    props["epochs_base"] = b
-    props["epochs_watermark"] = w
-    props["epochs"] = sorted(s)
+    """Re-normalize and persist — O(new epochs + fragmentation) per
+    commit, O(fragmentation) storage. Contiguous runs (wherever their
+    numbering starts) collapse into ranges; a below-range late segment
+    drains into its range the moment it becomes adjacent instead of
+    staying one explicit entry per epoch forever."""
+    ranges, sparse = _normalize_epochs(es.ranges, es.explicit)
+    props["epoch_ranges"] = [[b, w] for b, w in ranges]
+    props["epochs"] = sorted(sparse)
+    # superseded legacy keys: a stale base/watermark pair alongside
+    # epoch_ranges would shadow-claim epochs on old readers
+    props.pop("epochs_base", None)
+    props.pop("epochs_watermark", None)
 
 
 def _entry(base: list[str], deltas: list[str] | None = None,
@@ -323,8 +388,7 @@ class SnapshotTable:
             "ledger_keep": ledger_keep,
             "manifests": manifests,
             "properties": {
-                "epochs_base": 0,
-                "epochs_watermark": 0,
+                "epoch_ranges": [],
                 "epochs": [],
                 "commits": [],
             },
@@ -441,6 +505,14 @@ class SnapshotTable:
 
     def applied_epochs(self) -> EpochSet:
         return _epoch_set(self.properties())
+
+    def gc_horizon(self) -> int:
+        """Highest lsn below which tombstones have been physically
+        garbage-collected (0 = never GC'd). Events with a lower lsn
+        must never reach row-level apply — their delete guards no
+        longer exist — so the Replayer drops them as stale (counted in
+        ``ReplayMetrics.events_stale_dropped``)."""
+        return int(self.properties().get("gc_horizon", 0))
 
     def commit_log(
         self,
@@ -795,9 +867,20 @@ class SnapshotTable:
             "rows_written": rows_written,
             "bytes_rewritten": bytes_rewritten,
         }
+        props = dict(snap["properties"])
         if tombstones_before is not None:
             commit_info["gc_tombstones_before"] = int(tombstones_before)
-        props = dict(snap["properties"])
+            # GC horizon: once tombstones below this lsn are physically
+            # gone, the row-level guard they provided is gone with them
+            # — an event with a lower lsn (a late replay of an older,
+            # never-applied binlog segment) could re-insert a deleted
+            # key. Persisting the horizon lets the Replayer DROP such
+            # events instead (they are stale by the table's own
+            # contract: state is complete through the horizon), turning
+            # silent resurrection into a counted, documented refusal.
+            props["gc_horizon"] = max(
+                int(props.get("gc_horizon", 0)), int(tombstones_before)
+            )
         props["commits"] = props.get("commits", []) + [commit_info]
         self._ledger_rollup(props, snap.get("ledger_keep", LEDGER_KEEP_DEFAULT))
         new = dict(snap)
@@ -825,7 +908,8 @@ class SnapshotTable:
         coarser cadence than the metadata-only delta-chain checks — see
         Replayer.gc_every."""
         snap = self.snapshot()
-        dead = F.coalesce(F.col(DELETED_COL), F.lit(False))
+        any_dead = F.coalesce(F.col(DELETED_COL), F.lit(False))
+        dead = any_dead
         if before_lsn is not None:
             dead = dead & (F.col(LSN_COL) < F.lit(int(before_lsn)))
         rows = (
@@ -833,13 +917,27 @@ class SnapshotTable:
             .select(
                 bucket_expr(snap["key_col"], snap["n_buckets"]).alias("_b"),
                 dead.cast("long").alias("_dead"),
+                # total tombstones regardless of the mark — same scan,
+                # one more counter; lets the GC cadence know whether
+                # above-mark residue exists that a later (advanced)
+                # low-water mark will make eligible without any new
+                # delete arriving (Replayer._maybe_gc_tombstones)
+                any_dead.cast("long").alias("_dead_total"),
             )
             .groupBy("_b")
-            .agg(F.count(F.lit(1)).alias("rows"), F.sum("_dead").alias("dead"))
+            .agg(
+                F.count(F.lit(1)).alias("rows"),
+                F.sum("_dead").alias("dead"),
+                F.sum("_dead_total").alias("dead_total"),
+            )
             .collect()
         )
         return {
-            int(r["_b"]): {"rows": int(r["rows"]), "dead": int(r["dead"] or 0)}
+            int(r["_b"]): {
+                "rows": int(r["rows"]),
+                "dead": int(r["dead"] or 0),
+                "dead_total": int(r["dead_total"] or 0),
+            }
             for r in rows
         }
 

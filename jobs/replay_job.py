@@ -129,6 +129,12 @@ def main() -> None:
                     # from the output (a builder .master() override once
                     # silently turned local-cluster submits into local)
                     "master": spark.sparkContext.master,
+                    # effective shuffle sizing, so launcher-provided
+                    # --conf survival (and the cluster-aware default
+                    # when none is given) is verifiable the same way
+                    "shuffle_partitions": int(
+                        spark.conf.get("spark.sql.shuffle.partitions")
+                    ),
                     "events": m.events_processed,
                     "events_per_sec": round(m.events_per_sec, 1),
                     "epochs_applied": m.epochs_applied,

@@ -241,19 +241,19 @@ def test_epoch_watermark_compaction(spark, tmp_path):
     table = make_table(spark, tmp_path, base, n_buckets=4)
     Replayer(table).run(log)
     props = table.properties()
-    assert props["epochs_watermark"] == 10
+    assert props["epoch_ranges"] == [[0, 10]]
     assert props["epochs"] == []  # fully compacted
     es = table.applied_epochs()
     assert isinstance(es, EpochSet)
     assert 9 in es and 10 not in es
-    # a sparse out-of-band key stays explicit without touching the mark
+    # a sparse out-of-band key stays explicit without touching the range
     batch = spark.createDataFrame(
         [("doc-00000001", [7], 1, "web", "U", 99999, 0, _dt.datetime(2023, 11, 14, 1, 0, 0))],
         "doc_id string, tokens array<int>, n_tok int, source string, op string, lsn long, epoch long, ts timestamp",
     )
     Replayer(table).apply_batch(batch, epoch=1_000_000_123)
     props = table.properties()
-    assert props["epochs_watermark"] == 10
+    assert props["epoch_ranges"] == [[0, 10]]
     assert props["epochs"] == [1_000_000_123]
 
 

@@ -26,39 +26,41 @@ from etl_gmaps_spark.tableio.iceberg_table import rollup_epochs
 
 
 @given(
-    base=st.integers(min_value=0, max_value=50),
-    # watermark < base is the crash-between-stamps state: legal input
-    watermark=st.integers(min_value=0, max_value=50),
+    ranges=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=100),
+            st.integers(min_value=0, max_value=12),
+        ),
+        max_size=4,
+    ),
     applied=st.sets(st.integers(min_value=0, max_value=100), max_size=40),
 )
-def test_rollup_epochs_invariants(base, watermark, applied):
-    state = (base, watermark, applied)
-    watermark = max(watermark, base)  # what rollup itself resumes from
-    new_b, new_w, drop = rollup_epochs(*state)
-    assert new_w >= new_b
-    anchored = watermark == base and applied  # first-rollup anchor fired
-    if anchored:
-        assert new_b == min(applied)
-    else:
-        assert (new_b, new_w >= watermark) == (base, True)
-    # dropped keys are exactly the contiguous walk up to the new mark
-    assert drop == list(range(new_w - len(drop), new_w))
-    # membership EXACT for every key: applied-before <=> applied-after.
-    # This is the property the base anchor buys — the [base, watermark)
-    # range only ever covers keys the caller actually claimed applied,
-    # unlike a zero-anchored watermark, which asserts coverage of
-    # [0, watermark) unconditionally.
-    def member(e, b, w, s):
-        return b <= e < w or e in s
-    remaining = set(applied) - set(drop)
-    for e in range(0, 102):
-        assert member(e, base, watermark, applied) == member(
-            e, new_b, new_w, remaining
-        ), (e, state)
-    # the walk stopped for a reason: the key at the new watermark was
-    # not applied in the ORIGINAL state (all-original args — mixing new
-    # and old marks asks a meaningless question)
-    assert not member(new_w, base, watermark, applied) or new_w > 100
+def test_rollup_epochs_invariants(ranges, applied):
+    # arbitrary (possibly overlapping/empty) input ranges — the reader
+    # may hand rollup an unnormalized list (legacy base/watermark pair
+    # appended to the ranges property)
+    ranges = [(b, b + ln) for b, ln in ranges]
+    new_ranges, sparse = rollup_epochs(ranges, applied)
+
+    def member_before(e):
+        return any(b <= e < w for b, w in ranges) or e in applied
+
+    def member_after(e):
+        return any(b <= e < w for b, w in new_ranges) or e in sparse
+
+    # membership EXACT for every key: applied-before <=> applied-after
+    # — nothing is ever claimed applied that wasn't (no resurrection of
+    # skipped epochs), nothing applied is ever lost (no re-apply)
+    for e in range(0, 120):
+        assert member_before(e) == member_after(e), (e, ranges, applied)
+    # canonical output: sorted, disjoint, non-adjacent, each len >= 2,
+    # and no sparse member adjacent to (or inside) any range
+    for (b1, w1), (b2, w2) in zip(new_ranges, new_ranges[1:]):
+        assert w1 < b2
+    for b, w in new_ranges:
+        assert w - b >= 2
+    for e in sparse:
+        assert not any(b - 1 <= e <= w for b, w in new_ranges)
 
 
 _mutations = st.lists(

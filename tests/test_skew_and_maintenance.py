@@ -331,9 +331,10 @@ def test_iceberg_sql_parses_with_spark_parser(spark):
         checkpoint_property_sql,
         create_table_sql,
         epoch_property_sql,
+        gc_horizon_property_sql,
         merge_sql,
+        ranges_property_sql,
         unset_epochs_sql,
-        watermark_property_sql,
     )
 
     parser = spark._jsparkSession.sessionState().sqlParser()
@@ -344,7 +345,8 @@ def test_iceberg_sql_parses_with_spark_parser(spark):
         "merge": merge_sql("cat.db.t", "doc_id", payload),
         "merge_lww": merge_sql("cat.db.t", "doc_id", payload + ["lsn"], lsn_col="lsn"),
         "epoch_stamp": epoch_property_sql("cat.db.t", 7, 123456789, 5000),
-        "watermark": watermark_property_sql("cat.db.t", 8),
+        "ranges": ranges_property_sql("cat.db.t", [(0, 8), (1_000_000_000, 1_000_000_002)]),
+        "horizon": gc_horizon_property_sql("cat.db.t", 123456),
         "unset": unset_epochs_sql("cat.db.t", [3, 4, 5]),
         "checkpoint": checkpoint_property_sql(
             "cat.db.t",
@@ -370,7 +372,10 @@ def test_iceberg_sql_parses_with_spark_parser(spark):
     # which Iceberg ignores (or worse, stages the commit) by default
     assert "'cdc.epoch.7'='123456789:5000'" in stmts["epoch_stamp"]
     assert "wap" not in stmts["epoch_stamp"]
-    assert "'cdc.epoch.watermark'='8'" in stmts["watermark"]
+    # the rollup is ONE atomic property: every contiguous run (batch
+    # epochs AND the streaming namespace at 10^9) packs as b:w
+    assert "'cdc.epoch.ranges'='0:8,1000000000:1000000002'" in stmts["ranges"]
+    assert "'cdc.gc.horizon'='123456'" in stmts["horizon"]
     assert "'cdc.epoch.3', 'cdc.epoch.4', 'cdc.epoch.5'" in stmts["unset"]
     # row-level LWW guard on BOTH matched arms, NULL-safe for base rows
     lww = stmts["merge_lww"]
@@ -405,23 +410,33 @@ def test_iceberg_epoch_rollup_arithmetic():
     metadata and an O(epochs) scan before every merge)."""
     from etl_gmaps_spark.tableio.iceberg_table import rollup_epochs
 
-    # contiguous from zero: everything rolls
-    assert rollup_epochs(0, 0, {0, 1, 2, 3}) == (0, 4, [0, 1, 2, 3])
-    # resumes from a prior watermark
-    assert rollup_epochs(0, 4, {4, 5}) == (0, 6, [4, 5])
-    # a gap stops the walk; the tail stays sparse
-    assert rollup_epochs(0, 0, {0, 1, 3}) == (0, 2, [0, 1])
-    # NOT zero-based: the first rollup anchors base at the lowest
-    # applied epoch instead of keeping one property per epoch forever
+    # contiguous from zero: everything rolls into one range
+    assert rollup_epochs([], {0, 1, 2, 3}) == ([(0, 4)], set())
+    # extends a prior range
+    assert rollup_epochs([(0, 4)], {4, 5}) == ([(0, 6)], set())
+    # a gap splits; the singleton tail stays sparse
+    assert rollup_epochs([], {0, 1, 3}) == ([(0, 2)], {3})
+    # NOT zero-based: any contiguous run compacts wherever it starts
     # (r5 review: an epoch-1-based or mid-binlog-resumed stream)
-    assert rollup_epochs(0, 0, {1, 2, 3}) == (1, 4, [1, 2, 3])
-    assert rollup_epochs(0, 0, {5000, 5001, 5003}) == (5000, 5002, [5000, 5001])
-    # anchored base persists; later epochs extend the same run
-    assert rollup_epochs(5000, 5002, {5002, 5003}) == (5000, 5004, [5002, 5003])
-    # an arrival BELOW the anchored base never moves it (membership for
-    # [base, watermark) must stay exact) — it stays sparse
-    assert rollup_epochs(5000, 5004, {0}) == (5000, 5004, [])
-    assert rollup_epochs(2, 2, set()) == (2, 2, [])
+    assert rollup_epochs([], {1, 2, 3}) == ([(1, 4)], set())
+    assert rollup_epochs([], {5000, 5001, 5003}) == ([(5000, 5002)], {5003})
+    # later epochs extend the same run
+    assert rollup_epochs([(5000, 5002)], {5002, 5003}) == ([(5000, 5004)], set())
+    # an arrival BELOW an existing range never joins it while the gap
+    # stands (membership must stay exact) — it stays sparse ...
+    assert rollup_epochs([(5000, 5004)], {0}) == ([(5000, 5004)], {0})
+    # ... but a contiguous below-range run forms its OWN range (r5
+    # review #2: independent namespaces — batch at 0.., streaming at
+    # 10^9 — each compact instead of one growing sparse forever)
+    assert rollup_epochs([(1_000_000_000, 1_000_000_005)], {0, 1, 2}) == (
+        [(0, 3), (1_000_000_000, 1_000_000_005)],
+        set(),
+    )
+    # ... and a late replay that FILLS the gap merges the ranges (r5
+    # review #3: below-base explicit entries must drain, or one late
+    # segment disables tombstone GC forever)
+    assert rollup_epochs([(0, 3), (5, 9)], {3, 4}) == ([(0, 9)], set())
+    assert rollup_epochs([(2, 2)], set()) == ([], set())
 
 
 def test_iceberg_end_to_end_when_runtime_present(spark, tmp_path):
@@ -488,41 +503,70 @@ def test_iceberg_verify_harness_is_live():
     assert "Cannot find catalog plugin" in err or "ClassNotFound" in err, err[-800:]
 
 
-def test_epoch_set_anchors_base_at_lowest_epoch():
-    """Regression (r5 review #1/#2 root cause): the applied-epoch ledger
-    was hard-anchored at zero, so a stream numbered from 1 (or resumed
-    mid-binlog) kept one explicit entry per epoch forever — O(epochs)
-    metadata, and a permanently 'gapped' ledger that disabled tombstone
-    GC. The first store now anchors base at the LOWEST epoch seen."""
-    from etl_gmaps_spark.tableio.snapshot_table import _epoch_set, _store_epochs
+def test_epoch_set_ranges_compact_and_merge():
+    """Regression (r5 reviews): the applied-epoch ledger is a RANGE
+    LIST, so (a) a stream numbered from anywhere compacts, (b) two
+    independent namespaces (batch epochs at 0.., streaming keys at
+    10^9..) each keep their own range instead of one growing an
+    explicit entry per epoch forever, and (c) a late replay of an
+    older segment DRAINS into its neighbors once contiguous instead of
+    permanently disabling tombstone GC."""
+    from etl_gmaps_spark.tableio.snapshot_table import (
+        OUT_OF_BAND_EPOCH_BASE,
+        _epoch_set,
+        _store_epochs,
+    )
 
     props: dict = {}
     es = _epoch_set(props)
     es.explicit.update([5000, 5001])
     _store_epochs(props, es)
-    assert (props["epochs_base"], props["epochs_watermark"], props["epochs"]) == (
-        5000, 5002, []
-    )
+    assert (props["epoch_ranges"], props["epochs"]) == ([[5000, 5002]], [])
     es2 = _epoch_set(props)
     assert 5000 in es2 and 5001 in es2
-    # epochs below base are NOT claimed applied — a late replay of an
-    # older binlog segment must still apply, not be silently skipped
+    # epochs below the range are NOT claimed applied — a late replay of
+    # an older binlog segment must still apply, not be silently skipped
     assert 4999 not in es2 and 0 not in es2
     assert len(es2) == 2 and list(es2) == [5000, 5001]
-    # a genuinely below-base arrival stays explicit; base never moves
+    # a lone below-range arrival stays explicit; the range never moves
     es2.explicit.add(10)
     _store_epochs(props, es2)
-    assert props["epochs_base"] == 5000 and props["epochs"] == [10]
+    assert props["epoch_ranges"] == [[5000, 5002]] and props["epochs"] == [10]
     es3 = _epoch_set(props)
     assert 10 in es3 and 11 not in es3 and 4999 not in es3
-    # the contiguous run above base keeps compacting to two integers
+    # the contiguous run keeps compacting to one pair
     es3.explicit.update([5002, 5003])
     _store_epochs(props, es3)
-    assert props["epochs_watermark"] == 5004 and props["epochs"] == [10]
-    # tables persisted BEFORE the base existed read as zero-anchored
+    assert props["epoch_ranges"] == [[5000, 5004]] and props["epochs"] == [10]
+    # an independent namespace (streaming ledger keys) forms its OWN
+    # range instead of accumulating sparsely (r5 review #2)
+    es4 = _epoch_set(props)
+    es4.explicit.update([OUT_OF_BAND_EPOCH_BASE, OUT_OF_BAND_EPOCH_BASE + 1])
+    _store_epochs(props, es4)
+    assert props["epoch_ranges"] == [
+        [5000, 5004], [OUT_OF_BAND_EPOCH_BASE, OUT_OF_BAND_EPOCH_BASE + 2]
+    ]
+    # the lone in-band sparse member (10) still gaps the ledger — the
+    # segment 11..4999 is genuinely un-applied, so GC must refuse; two
+    # in-band ranges gap it too
+    assert not _epoch_set(props).contiguous_in_band()
+    assert not _epoch_set({"epoch_ranges": [[0, 2], [5, 9]]}).contiguous_in_band()
+    # a late below-range segment MERGES once it fills the gap (r5
+    # review #3: explicit entries must drain, or one late segment
+    # turns tombstone GC off forever) — and in-band contiguity is
+    # restored (the STREAMING range's gap is vacuous and ignored)
+    es5 = _epoch_set(props)
+    es5.explicit.update(range(11, 5000))
+    _store_epochs(props, es5)
+    assert props["epoch_ranges"][0] == [10, 5004] and props["epochs"] == []
+    assert _epoch_set(props).contiguous_in_band()
+    # tables persisted under either legacy layout read back unchanged
     legacy = {"epochs_watermark": 4, "epochs": [7]}
-    es4 = _epoch_set(legacy)
-    assert 0 in es4 and 3 in es4 and 7 in es4 and 5 not in es4
+    es6 = _epoch_set(legacy)
+    assert 0 in es6 and 3 in es6 and 7 in es6 and 5 not in es6
+    anchored = {"epochs_base": 100, "epochs_watermark": 104, "epochs": []}
+    es7 = _epoch_set(anchored)
+    assert 100 in es7 and 103 in es7 and 99 not in es7 and 104 not in es7
 
 
 def test_gc_fires_on_one_based_epoch_stream(spark, tmp_path):
@@ -572,19 +616,18 @@ def test_gc_tick_skips_stats_without_new_deletes(spark, tmp_path):
         spark, str(tmp_path / "t"), TARGET_SCHEMA, base_df=base, merge_mode="mor"
     )
     calls: list[int] = []
-    orig = table.maintain
+    orig = table.tombstone_stats
 
-    def counting_maintain(*a, **k):
+    def counting_stats(*a, **k):
         calls.append(1)
         return orig(*a, **k)
 
-    table.maintain = counting_maintain
-    # auto_compact=False: MoR auto-compaction calls maintain() after
-    # every commit on its own (metadata-only) cadence — counting those
-    # would drown the GC ticks this test isolates
+    table.tombstone_stats = counting_stats
+    # auto_compact=False: the GC cadence must be the only caller of the
+    # full-table aggregation this test counts
     rep = Replayer(table, gc_every=1, gc_tombstone_ratio=0.1, auto_compact=False)
     rep.run(log)
-    assert len(calls) == 1, f"{len(calls)} maintenance checks for 8 delete-free commits"
+    assert len(calls) == 1, f"{len(calls)} stats aggregations for 8 delete-free commits"
     # a delete-bearing tail re-arms the gate on the SAME Replayer; its
     # epochs continue the run (a +1000 jump would gap the ledger, and
     # the explicit-epochs guard — correctly — refuses to GC a gapped one)
@@ -596,6 +639,125 @@ def test_gc_tick_skips_stats_without_new_deletes(spark, tmp_path):
     )
     rep.run(tail)
     assert len(calls) >= 2, "deletes arrived but the gate never re-checked"
+
+
+def test_gc_horizon_blocks_stale_resurrection(spark, tmp_path):
+    """r5 review #1 (the data-corruption hazard): after tombstone GC
+    physically collects a delete's guard row, a late replay of an
+    older, never-applied binlog segment could re-INSERT the deleted key
+    through the NOT MATCHED arm. The GC commit now persists the mark it
+    collected below (gc_horizon); the Replayer DROPS events under it —
+    counted in events_stale_dropped, never applied. Control: on a
+    never-GC'd table the surviving tombstone itself rejects the same
+    stale event — horizon and tombstones are the same guard, before and
+    after collection."""
+    import datetime as _dt
+
+    base = gen_base(spark, n_docs=400, seed=91)
+    # epochs shifted to 100..: a mid-binlog-resumed stream (the exact
+    # shape that makes an "older segment" plausible)
+    log = gen_changelog(
+        spark, n_docs=400, n_events=1500, seed=91, epoch_size=150,
+        pct_insert=10, pct_delete=50, hot_frac=0.0, dup_epochs=(),
+    ).withColumn("epoch", F.col("epoch") + F.lit(100))
+    expected = replay_oracle(base.toPandas(), log.toPandas())
+
+    table = SnapshotTable.create(
+        spark, str(tmp_path / "t"), TARGET_SCHEMA, base_df=base, merge_mode="mor"
+    )
+    Replayer(table, gc_every=3, gc_tombstone_ratio=0.05).run(log)
+    assert_table_equal(table.read(), expected)
+    horizon = table.gc_horizon()
+    assert horizon > 0, "GC ran but persisted no horizon"
+
+    # a key whose final fate in the applied log is a GC-eligible delete
+    lpd = log.toPandas().sort_values("lsn")
+    last = lpd.groupby("doc_id").last()
+    dead_keys = last[(last["op"] == "D") & (last["lsn"] < horizon)]
+    assert len(dead_keys) > 0
+    victim = dead_keys.index[0]
+    assert table.read().filter(F.col("doc_id") == victim).count() == 0
+
+    stale = spark.createDataFrame(
+        [(victim, [9, 9, 9], 3, "web", "I", 5, 50,
+          _dt.datetime(2023, 11, 14, 1, 0, 0))],
+        "doc_id string, tokens array<int>, n_tok int, source string, "
+        "op string, lsn long, epoch long, ts timestamp",
+    )
+    rows_before = table.read().count()
+    m = Replayer(table).run(stale)
+    assert m.events_stale_dropped == 1 and m.events_processed == 0
+    assert table.read().filter(F.col("doc_id") == victim).count() == 0, (
+        "GC'd delete resurrected by a stale below-horizon insert"
+    )
+    assert table.read().count() == rows_before
+    # the stale epoch is still CONSUMED (ledgered): a re-poll of the
+    # same segment is a wholesale skip, not an endless re-drop
+    assert Replayer(table).run(stale).epochs_skipped == 1
+
+    # control: same stale event against a never-GC'd replica — the
+    # surviving tombstone rejects it at row level (no horizon involved)
+    ctl = SnapshotTable.create(
+        spark, str(tmp_path / "ctl"), TARGET_SCHEMA, base_df=base, merge_mode="mor"
+    )
+    Replayer(ctl, gc_tombstones=False).run(log)
+    assert ctl.gc_horizon() == 0
+    m2 = Replayer(ctl, gc_tombstones=False).run(stale)
+    assert m2.events_stale_dropped == 0 and m2.events_processed == 1
+    assert ctl.read().filter(F.col("doc_id") == victim).count() == 0
+    assert_table_equal(ctl.read(), expected)
+
+
+def test_gc_residue_collected_without_new_deletes(spark, tmp_path):
+    """r5 review #5: a delete burst whose tombstones sit ABOVE the
+    low-water mark at check time becomes eligible later purely because
+    the mark advances — with the zero-new-deletes skip judged on delete
+    count alone, an insert-only tail would defer their collection
+    forever. The check now records whether above-mark residue existed
+    and keeps checking until it is gone."""
+    base = gen_base(spark, n_docs=300, seed=93)
+    burst = gen_changelog(
+        spark, n_docs=300, n_events=900, seed=93, epoch_size=300,
+        pct_insert=10, pct_delete=60, hot_frac=0.0, dup_epochs=(),
+    )
+    table = SnapshotTable.create(
+        spark, str(tmp_path / "t"), TARGET_SCHEMA, base_df=base, merge_mode="mor"
+    )
+    rep = Replayer(table, gc_every=1, gc_tombstone_ratio=0.05)
+    rep.run(burst)
+    # the final commit's deletes sit above its own check's mark
+    assert rep._gc_residue is True, "fixture failed to leave residue"
+    vers_after_burst = table.snapshot()["version"]
+
+    # insert-only tail: zero new deletes, but the advancing mark makes
+    # the burst's tail tombstones eligible — the cadence must still
+    # collect them
+    tail = gen_changelog(
+        spark, n_docs=300, n_events=600, seed=94, epoch_size=200,
+        pct_insert=80, pct_delete=0, dup_epochs=(),
+    ).withColumn("epoch", F.col("epoch") + F.lit(3)).withColumn(
+        "lsn", F.col("lsn") + F.lit(10_000_000)
+    )
+    rep.run(tail)
+    gc_after_tail = [
+        c for c in table.commit_log()
+        if "gc_tombstones_before" in c and c["snapshot"] > vers_after_burst
+    ]
+    assert gc_after_tail, "insert-only tail never collected the residue"
+    assert rep._gc_residue is False
+    # and fully idle ticks after the residue clears are free again
+    calls: list[int] = []
+    orig = table.tombstone_stats
+    table.tombstone_stats = lambda *a, **k: (calls.append(1), orig(*a, **k))[1]
+    rep.run(
+        gen_changelog(
+            spark, n_docs=300, n_events=300, seed=95, epoch_size=150,
+            pct_insert=80, pct_delete=0, dup_epochs=(),
+        ).withColumn("epoch", F.col("epoch") + F.lit(6)).withColumn(
+            "lsn", F.col("lsn") + F.lit(20_000_000)
+        )
+    )
+    assert calls == [], "residue-free insert-only ticks re-ran the aggregation"
 
 
 def test_spark_submit_py_files_end_to_end(tmp_path):
@@ -636,6 +798,10 @@ def test_spark_submit_py_files_end_to_end(tmp_path):
     workdir = str(tmp_path / "work")
     cmd = [
         submit, "--master", "local-cluster[2,1,1024]", "--driver-memory", "2g",
+        # r5 review: a launcher-provided --conf must SURVIVE get_spark
+        # (builder .config() used to clobber every launcher conf, not
+        # just the master)
+        "--conf", "spark.sql.shuffle.partitions=7",
         "--py-files", zip_path, job,
         "--generate", "20000", "--workdir", workdir,
         "--n-buckets", "4", "--merge-mode", "mor", "--cpus", "1",
@@ -655,6 +821,7 @@ def test_spark_submit_py_files_end_to_end(tmp_path):
     # override once silently turned this cluster submit into local[1]
     # while every functional assertion below still passed
     assert first["master"] == "local-cluster[2,1,1024]", first
+    assert first["shuffle_partitions"] == 7, first  # launcher conf survived
     assert first["epochs_applied"] == 4 and first["epochs_skipped"] == 0, first
     assert first["final_rows"] > 0
 
@@ -673,3 +840,6 @@ def test_spark_submit_py_files_end_to_end(tmp_path):
     assert second["epochs_applied"] == 0 and second["epochs_skipped"] == 4, second
     assert second["final_rows"] == first["final_rows"]
     assert second["snapshot"] == first["snapshot"]  # no new commits
+    # no launcher conf this time: shuffle sizing defaults to the REAL
+    # cluster parallelism (2 executors x 1 core), not the CPU env var
+    assert second["shuffle_partitions"] == 2, second

@@ -157,31 +157,36 @@ def main() -> int:
     )
 
     # ledger rollup: this stream is numbered from 1 (no epoch 0 ever) —
-    # the first rollup anchors cdc.epoch.base at the LOWEST applied
-    # epoch, the watermark advances over the contiguous run above it,
-    # and the ledger keeps O(gaps + recent window) properties (the
-    # KEEP_RECENT_EPOCHS attribution tail), not one per epoch forever
-    eb, wm, _ = it._epoch_ledger()
-    checks.append(("rollup anchors base at lowest epoch", eb == 1))
-    checks.append(("rollup watermark", wm == 4))
+    # the rollup compacts any contiguous run into one cdc.epoch.ranges
+    # pair wherever its numbering starts, keeping O(fragmentation +
+    # recent window) properties (the KEEP_RECENT_EPOCHS attribution
+    # tail), not one per epoch forever
+    ranges, _ = it._epoch_ledger()
+    checks.append(("rollup compacts 1-based run to one range", ranges == [(1, 4)]))
     it.KEEP_RECENT_EPOCHS = 0  # force full rollup so the unset path runs
     it.merge(
         spark.createDataFrame(
             [("doc-0004", 77, "src9", "fr", "U")],
             "doc_id string, n_tok int, source string, lang string, op string",
         ),
-        epoch=0,  # BELOW base: a late replay of an older binlog segment
+        epoch=0,  # BELOW the range: a late replay of an older segment
     )
-    eb, wm, sparse = it._epoch_ledger()
-    checks.append(("below-base epoch applies, base unchanged", eb == 1 and wm == 4))
-    # rolled-up stamps in [base, watermark) are unset (KEEP=0); the
-    # below-base member is NOT covered by the range, so its stamp stays
-    checks.append(("rollup unsets covered stamps only", set(sparse) == {0}))
+    ranges, sparse = it._epoch_ledger()
+    # the late below-range epoch applies AND, being adjacent, MERGES
+    # into the range (r5 review: a drained gap must compact, not pin
+    # one explicit property per late epoch forever)
+    checks.append(("below-range epoch applies and merges", ranges == [(0, 4)]))
+    # every stamp is now range-covered and KEEP=0: all unset
+    checks.append(("rollup unsets covered stamps", set(sparse) == set()))
     applied = it.applied_epochs()
     checks.append(("rollup membership", all(e in applied for e in (0, 1, 2, 3))))
+    it.KEEP_RECENT_EPOCHS = 64  # restore the attribution window
 
     # --- r5 review regressions ----------------------------------------
-    from etl_gmaps_spark.tableio.iceberg_table import unset_epochs_sql
+    from etl_gmaps_spark.tableio.iceberg_table import (
+        ranges_property_sql,
+        unset_epochs_sql,
+    )
 
     # (a) crash BETWEEN a grouped commit's epoch stamps: the resume's
     # re-merge is a state no-op (snap=0) and must restamp ONLY the
@@ -192,12 +197,15 @@ def main() -> int:
         "doc_id string, n_tok int, source string, lang string, op string",
     )
     it.merge(batch_g, epoch=[10, 11])
-    snap10 = it._epoch_ledger()[2][10][0]
+    snap10 = it._epoch_ledger()[1][10][0]
     checks.append(("grouped stamp attribution", snap10 != 0))
-    spark.sql(unset_epochs_sql(ident, [11]))  # simulate the mid-stamp crash
+    # simulate the mid-stamp crash: epoch 11's stamp never landed and
+    # the rollup (which runs after ALL stamps) never ran either
+    spark.sql(unset_epochs_sql(ident, [11]))
+    spark.sql(ranges_property_sql(ident, [(0, 4)]))
     it.merge(batch_g, epoch=[10, 11])  # resume
     checks.append(
-        ("partial-stamp resume keeps attribution", it._epoch_ledger()[2][10][0] == snap10)
+        ("partial-stamp resume keeps attribution", it._epoch_ledger()[1][10][0] == snap10)
     )
     checks.append(("partial-stamp resume applies tail", 11 in it.applied_epochs()))
 
@@ -307,6 +315,27 @@ def main() -> int:
     # re-running the whole log is a wholesale no-op
     m2 = Replayer(IcebergTable(spark, ident_r)).run(rlog)
     checks.append(("replayer idempotent re-run", m2.epochs_applied == 0))
+
+    # r5 review #1: Iceberg deletes keep no tombstone, so the persisted
+    # cdc.gc.horizon must have advanced with the delete-bearing commits
+    # and a later sub-horizon event (late replay of an older segment)
+    # must be DROPPED as stale — counted, never applied (it could
+    # resurrect a deleted key)
+    checks.append(("gc horizon stamped on deletes", irt.gc_horizon() > 0))
+    stale = spark.createDataFrame(
+        [("doc-stale", [1, 2], 2, "web", "U", 0, 999_999, None)],
+        "doc_id string, tokens array<int>, n_tok int, source string, "
+        "op string, lsn long, epoch long, ts timestamp",
+    )
+    info = Replayer(IcebergTable(spark, ident_r)).apply_batch(stale, epoch=999_999)
+    checks.append(
+        (
+            "sub-horizon events dropped not applied",
+            info["stale_dropped"] == 1
+            and info["events"] == 0
+            and irt.read().filter("doc_id='doc-stale'").count() == 0,
+        )
+    )
 
     failed = [name for name, ok in checks if not ok]
     for name, ok in checks:
