@@ -99,14 +99,15 @@ def get_spark(
         if shuffle_partitions is not None:
             # caller-explicit sizing (bench protocol) still wins
             spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
-        elif not launcher.contains("spark.sql.shuffle.partitions"):
-            # cluster-aware default: one shuffle wave over the REAL
-            # executor cores the launcher provisioned, not the local
-            # CPU env var
-            spark.conf.set(
-                "spark.sql.shuffle.partitions",
-                str(spark.sparkContext.defaultParallelism),
-            )
+        # else: leave Spark's default (200) + AQE coalescing. Sizing
+        # from sparkContext.defaultParallelism here would read the
+        # executor registry at session creation — on YARN/k8s (and any
+        # dynamic-allocation cluster) executors register ASYNCHRONOUSLY
+        # and the value floors at 2, pinning every shuffle of the whole
+        # job into two giant partitions. 200+AQE self-corrects
+        # downward at runtime; an operator at the scale where 200
+        # undershoots sets --conf spark.sql.shuffle.partitions, which
+        # the launcher-deference above preserves.
         spark.sparkContext.setLogLevel("WARN")
         return spark
     shuffle_partitions = shuffle_partitions or total_cores

@@ -137,6 +137,13 @@ class Replayer:
         # mark (they WILL become eligible as the mark advances); False =
         # it saw none; None = no check has run yet (always check).
         self._gc_residue: bool | None = None
+        # gc_horizon cache: read from table metadata once per Replayer,
+        # then maintained locally (this process is the only horizon
+        # writer while it replays — GC and delete-stamps both run here).
+        # A stale-low cached value only under-drops, which is safe; the
+        # per-batch metadata round-trip it replaces is pure hot-loop
+        # overhead (SHOW TBLPROPERTIES on Iceberg).
+        self._horizon: int | None = None
         self._ckpt: dict[int, dict] | None = None  # partition -> lineage row
 
     def _merged_checkpoint_rows(self, stats: list[dict]) -> list[dict]:
@@ -203,7 +210,9 @@ class Replayer:
         # exists, and pending epochs' lsns all exceed it anyway.
         stale_obs = None
         pre_batch = None
-        horizon = int(getattr(self.table, "gc_horizon", lambda: 0)() or 0)
+        if self._horizon is None:
+            self._horizon = int(getattr(self.table, "gc_horizon", lambda: 0)() or 0)
+        horizon = self._horizon
         if horizon:
             from pyspark.sql import Observation
 
@@ -339,25 +348,28 @@ class Replayer:
         # output stays exact via the row-level lsn guard.
         # dup_obs rode the keyed-agg scan; the collect above makes it
         # available.
-        try:
+        # pyspark quirk (measured on 4.1): when an action's aggregation
+        # collects ZERO groups — here, every event in the batch dropped
+        # by the horizon filter — NO observation on that plan is
+        # retrievable (AssertionError from toPyRow). The condition is
+        # directly visible as an empty stats collect (zero groups means
+        # zero surviving rows, exactly), so gate on that rather than a
+        # blanket except that would also mask real failures.
+        if stats_rows:
             dup = dict(dup_obs.get)
-        except Exception:
-            # pyspark quirk (measured on 4.1): when the keyed
-            # aggregation collects ZERO groups — every event in the
-            # batch dropped by the horizon filter — no observation on
-            # the plan is retrievable (AssertionError from toPyRow).
-            # Zero groups means zero surviving rows, exactly.
+        else:
             dup = {"raw_rows": 0, "approx_rows": 0}
         stale_dropped = 0
         if stale_obs is not None:
             # both observations rode the same completed scan; dropped =
-            # rows seen before the horizon filter minus rows after it
-            try:
-                pre_rows = int(dict(stale_obs.get)["pre_rows"] or 0)
-            except Exception:
-                # all-stale batch (same quirk): one narrow count on the
-                # pre-filter frame — off the hot path by construction
-                pre_rows = pre_batch.count()
+            # rows seen before the horizon filter minus rows after it.
+            # All-stale batch: one narrow count on the pre-filter frame
+            # — off the hot path by construction.
+            pre_rows = (
+                int(dict(stale_obs.get)["pre_rows"] or 0)
+                if stats_rows
+                else pre_batch.count()
+            )
             stale_dropped = pre_rows - int(dup["raw_rows"] or 0)
         approx = dup["approx_rows"] or 1
         trip = max(0.4 * dup["raw_rows"] / (len(epochs) + 1), 0.03 * approx)
@@ -436,13 +448,11 @@ class Replayer:
                     (res.prof or {}).values()
                 )
             )
-        # available as soon as the merge action finished (same job)
-        try:
-            live = obs.get if obs is not None else {}
-        except Exception:
-            # same zero-rows metrics quirk as the dup observation above
-            # (an all-stale batch merges an empty winner set)
-            live = {}
+        # available as soon as the merge action finished (same job);
+        # same zero-rows metrics quirk as above — an all-stale batch
+        # (empty stats) merges an empty winner set, whose observation
+        # is unretrievable
+        live = obs.get if obs is not None and stats_rows else {}
         return {
             "epoch": epochs[-1],
             "skipped": False,
@@ -509,13 +519,27 @@ class Replayer:
                 # an older segment re-inserting the key: advance the
                 # persisted horizon to this batch's high-water lsn the
                 # moment a delete commits, so such events are dropped
-                # as stale instead (pending epochs all sit above it)
+                # as stale instead. ONLY while the in-band ledger is
+                # contiguous above the current horizon epoch: with a
+                # known un-applied gap below this batch, an advanced
+                # horizon would silently discard the gap's events when
+                # they finally drain (the review-caught loss case) —
+                # the gap's deletes stay unguarded until it closes,
+                # which is the honest trade for a tombstone-less sink.
                 if (
                     getattr(self.table, "deletes_are_immediate", False)
                     and int(info.get("deletes") or 0) > 0
                     and info.get("last_lsn") is not None
+                    and self.table.applied_epochs().contiguous_in_band(
+                        above=self.table.gc_horizon_epoch()
+                    )
                 ):
-                    self.table.advance_gc_horizon(int(info["last_lsn"]))
+                    self.table.advance_gc_horizon(
+                        int(info["last_lsn"]), epoch=max(group)
+                    )
+                    self._horizon = max(
+                        self._horizon or 0, int(info["last_lsn"])
+                    )
                 # GC cadence rides the table's PERSISTENT snapshot
                 # version, not a run()-local commit counter: a driver
                 # that polls with max_epochs=K < gc_every (or builds a
@@ -564,10 +588,14 @@ class Replayer:
         # between applied runs) = no safe low-water mark; see the
         # docstring. A single contiguous run anchored anywhere
         # (epoch-1-based stream, mid-binlog resume) passes — the safety
-        # argument needs contiguity, not zero-based numbering — and
-        # out-of-band ledger keys (the streaming namespace at 10^9) are
-        # ignored: that gap is vacuous by construction.
-        if not self.table.applied_epochs().contiguous_in_band():
+        # argument needs contiguity, not zero-based numbering. Ignored
+        # as vacuous: out-of-band ledger keys (the streaming namespace
+        # at 10^9), and fragmentation at/below gc_horizon_epoch (those
+        # epochs' events are horizon-dropped and can never apply — a
+        # consumed fully-stale segment must not turn GC off forever).
+        if not self.table.applied_epochs().contiguous_in_band(
+            above=self.table.gc_horizon_epoch()
+        ):
             return None
         ckpt = self._ckpt or {}
         lwm = min((int(r["last_lsn"]) for r in ckpt.values()), default=None)
@@ -578,30 +606,29 @@ class Replayer:
         self._gc_residue = any(
             s["dead_total"] > s["dead"] for s in stats.values()
         )
-        gc_buckets = [
-            b
-            for b, s in stats.items()
-            if s["dead"] > 0
-            and s["dead"] >= self.gc_tombstone_ratio * max(1, s["rows"])
-        ]
-        # piggyback the delta-chain legs only when auto-compaction is ON
-        # (metadata-only plan, no Spark job): with auto_compact=False
-        # this cadence must be GC-only, or it silently re-enables the
-        # compaction the caller turned off — corrupting policy-off A/B
-        # measurements and injecting compactions into timed replays
-        delta_buckets = (
-            self.table.maintenance_plan(
-                self.compact_max_chain, self.compact_max_delta_ratio
-            )
-            if self.auto_compact
-            else []
+        # one plan call carries both legs: the delta-chain thresholds
+        # (metadata-only) ride along ONLY when auto-compaction is ON —
+        # with auto_compact=False this cadence must be GC-only, or it
+        # silently re-enables the compaction the caller turned off —
+        # and the tombstone leg reuses the aggregation above instead of
+        # re-running it (the ratio predicate lives in maintenance_plan,
+        # one source of truth).
+        todo = self.table.maintenance_plan(
+            self.compact_max_chain if self.auto_compact else None,
+            self.compact_max_delta_ratio if self.auto_compact else None,
+            tombstone_ratio=self.gc_tombstone_ratio,
+            tombstone_before=lwm,
+            tombstone_stats_precomputed=stats,
         )
-        todo = sorted(set(gc_buckets) | set(delta_buckets))
         if not todo:
             return None
         # eligible tombstones in delta-triggered buckets ride the
         # rewrite for free — same pass, same low-water mark
-        return self.table.compact(buckets=todo, tombstones_before=lwm)
+        res = self.table.compact(buckets=todo, tombstones_before=lwm)
+        # the compact commit advanced the persisted horizon to lwm;
+        # keep the in-process cache in step
+        self._horizon = max(self._horizon or 0, lwm)
+        return res
 
     def is_done(self, log: DataFrame) -> bool:
         """exiter.isDone analog: every epoch in the log is in the ledger.

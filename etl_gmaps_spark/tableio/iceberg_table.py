@@ -91,18 +91,23 @@ def ranges_property_sql(identifier: str, ranges: list[tuple[int, int]]) -> str:
     )
 
 
-def gc_horizon_property_sql(identifier: str, horizon: int) -> str:
+def gc_horizon_property_sql(
+    identifier: str, horizon: int, epoch: int | None = None
+) -> str:
     """Stale-replay guard stamp (`cdc.gc.horizon`): Iceberg deletes
     remove the row outright — no tombstone survives to reject a late
     replay of an older binlog segment re-inserting a deleted key — so
     after any delete-bearing commit the Replayer advances this horizon
     to the batch's high-water lsn and drops lower-lsn events as stale
     (SnapshotTable keeps real tombstones and only advances its horizon
-    when GC physically collects them)."""
-    return (
-        f"ALTER TABLE {identifier} SET TBLPROPERTIES "
-        f"('cdc.gc.horizon'='{int(horizon)}')"
-    )
+    when GC physically collects them). ``epoch`` stamps
+    `cdc.gc.horizon.epoch` in the same atomic ALTER: the highest epoch
+    provably entirely below the horizon, which excuses sub-horizon
+    ledger fragmentation from the contiguity checks."""
+    pairs = f"'cdc.gc.horizon'='{int(horizon)}'"
+    if epoch is not None:
+        pairs += f", 'cdc.gc.horizon.epoch'='{int(epoch)}'"
+    return f"ALTER TABLE {identifier} SET TBLPROPERTIES ({pairs})"
 
 
 def unset_epochs_sql(identifier: str, epochs: list[int]) -> str:
@@ -284,7 +289,7 @@ class IcebergTable:
 
     def _epoch_ledger(
         self,
-    ) -> tuple[list[tuple[int, int]], dict[int, tuple[int, int]]]:
+    ) -> tuple[list[tuple[int, int]], dict[int, tuple[int, int]], bool]:
         """(ranges, {epoch: (snapshot_id, events)}) from the
         `cdc.epoch.*` table properties merge() stamps. SHOW
         TBLPROPERTIES is metadata-only (no data scan) and — unlike
@@ -316,14 +321,17 @@ class IcebergTable:
                     continue
                 snap_s, _, ev_s = v.partition(":")
                 out[int(suffix)] = (int(snap_s), int(ev_s or 0))
-        if legacy_watermark > legacy_base:
+        legacy = legacy_watermark > legacy_base
+        if legacy:
             # append, don't shadow: a table may carry both a legacy pair
             # (pre-ranges commits) and the ranges property (post).
             # Consumers normalize (EpochSet, rollup_epochs) or only
             # test membership, so an unnormalized extra pair is safe —
             # and a length-1 legacy range is never silently dropped.
+            # The flag lets merge() retire the legacy keys on its next
+            # rollup (their coverage folds into cdc.epoch.ranges).
             ranges = ranges + [(legacy_base, legacy_watermark)]
-        return ranges, out
+        return ranges, out, legacy
 
     def gc_horizon(self) -> int:
         """Highest lsn below which arriving events must be dropped as
@@ -332,13 +340,23 @@ class IcebergTable:
         the re-insert. See `gc_horizon_property_sql`."""
         return int(self._properties().get("cdc.gc.horizon", 0))
 
-    def advance_gc_horizon(self, lsn: int) -> None:
+    def gc_horizon_epoch(self) -> int:
+        """Highest epoch provably entirely below gc_horizon (-1 =
+        none); sub-horizon ledger fragmentation is excused from the
+        contiguity checks (SnapshotTable.gc_horizon_epoch parity)."""
+        return int(self._properties().get("cdc.gc.horizon.epoch", -1))
+
+    def advance_gc_horizon(self, lsn: int, epoch: int | None = None) -> None:
         cur = self.gc_horizon()
         if int(lsn) > cur:
-            self.spark.sql(gc_horizon_property_sql(self.identifier, int(lsn)))
+            if epoch is not None:
+                epoch = max(int(epoch), self.gc_horizon_epoch())  # monotone
+            self.spark.sql(
+                gc_horizon_property_sql(self.identifier, int(lsn), epoch=epoch)
+            )
 
     def applied_epochs(self) -> EpochSet:
-        ranges, ledger = self._epoch_ledger()
+        ranges, ledger, _ = self._epoch_ledger()
         # keys inside a range are the retained attribution tail —
         # already covered; keeping them in `explicit` would
         # double-count len()/iter()
@@ -359,7 +377,7 @@ class IcebergTable:
         select (newest first, optional filters, LIMIT) answered from
         Iceberg's `.snapshots` metadata table joined with the
         `cdc.epoch.*` property ledger."""
-        _, _, ledger = self._epoch_ledger()
+        _, ledger, _ = self._epoch_ledger()
         # one snapshot can carry several epochs (millisecond commit
         # ties are attributed via .refs, but a caller may also batch),
         # so the inversion is snapshot -> LIST — a dict comprehension
@@ -433,7 +451,7 @@ class IcebergTable:
             else [int(epoch)] if isinstance(epoch, int)
             else [int(e) for e in epoch]
         )
-        ranges, ledger = self._epoch_ledger()
+        ranges, ledger, legacy_present = self._epoch_ledger()
 
         def _applied(e: int) -> bool:
             return any(b <= e < w for b, w in ranges) or e in ledger
@@ -502,12 +520,34 @@ class IcebergTable:
             # per-epoch ledger stays O(fragmentation), not O(epochs):
             # without this, 10^5 epochs = 10^5 table properties and
             # every merge's applied-check scans all of them
-            new_ranges, _ = rollup_epochs(ranges, set(ledger) | set(epochs))
-            if new_ranges != sorted(ranges):
+            new_ranges, still_sparse = rollup_epochs(
+                ranges, set(ledger) | set(epochs)
+            )
+            # a length-1 legacy range normalizes to a SPARSE member; if
+            # no per-epoch key exists for it (it predates the ranges
+            # protocol), re-stamp one before the legacy pair is retired
+            # below, or its membership would be lost
+            for e in still_sparse:
+                if e not in ledger and e not in epochs:
+                    self.spark.sql(epoch_property_sql(self.identifier, e, 0, 0))
+            # compare against the NORMALIZED current ranges: the raw
+            # list may carry the appended legacy pair, which would read
+            # as a difference forever and restamp on every merge
+            cur_ranges, _ = rollup_epochs(ranges, set())
+            if new_ranges != cur_ranges or legacy_present:
                 # ONE atomic stamp; a crash before the unsets below
                 # leaves covered keys standing — membership unchanged
                 # (range ∪ keys), swept by the next merge
                 self.spark.sql(ranges_property_sql(self.identifier, new_ranges))
+            if legacy_present:
+                # retire the pre-ranges two-stamp pair: its coverage
+                # just folded into cdc.epoch.ranges (stamped above
+                # unconditionally when legacy was present), so the keys
+                # would otherwise linger forever
+                self.spark.sql(
+                    f"ALTER TABLE {self.identifier} UNSET TBLPROPERTIES "
+                    "('cdc.epoch.base', 'cdc.epoch.watermark')"
+                )
             # unset range-covered keys EXCEPT a recent window per range
             # (their membership is already covered; keeping each
             # range's newest tail preserves commit_log's

@@ -233,14 +233,22 @@ class EpochSet:
     def watermark(self) -> int:
         return self.ranges[0][1] if self.ranges else 0
 
-    def contiguous_in_band(self, bound: int = OUT_OF_BAND_EPOCH_BASE) -> bool:
-        """True when the IN-BAND applied epochs (< ``bound``) form one
-        contiguous run with no sparse stragglers — the shape the
-        tombstone-GC low-water-mark safety argument needs. Out-of-band
-        ledger keys (the streaming namespace) are ignored: the gap
-        between namespaces is vacuous, not an un-applied segment."""
-        return len([r for r in self.ranges if r[0] < bound]) <= 1 and not any(
-            e < bound for e in self.explicit
+    def contiguous_in_band(
+        self, bound: int = OUT_OF_BAND_EPOCH_BASE, above: int = -1
+    ) -> bool:
+        """True when the IN-BAND applied epochs (< ``bound``) ABOVE
+        ``above`` form one contiguous run with no sparse stragglers —
+        the shape the tombstone-GC low-water-mark safety argument
+        needs. Out-of-band ledger keys (the streaming namespace) are
+        ignored: the gap between namespaces is vacuous, not an
+        un-applied segment. ``above`` is the table's gc_horizon_epoch:
+        every epoch at or below it is entirely below the persisted GC
+        horizon, so its events can never reach row-level apply (the
+        horizon filter drops them) — fragmentation down there (e.g. a
+        consumed-but-fully-stale segment) is equally vacuous."""
+        return (
+            len([r for r in self.ranges if r[0] < bound and r[1] > above + 1]) <= 1
+            and not any(above < e < bound for e in self.explicit)
         )
 
     def __contains__(self, e) -> bool:
@@ -513,6 +521,13 @@ class SnapshotTable:
         longer exist — so the Replayer drops them as stale (counted in
         ``ReplayMetrics.events_stale_dropped``)."""
         return int(self.properties().get("gc_horizon", 0))
+
+    def gc_horizon_epoch(self) -> int:
+        """Highest epoch provably ENTIRELY below gc_horizon (-1 =
+        none): fragmentation at or below it never blocks the GC
+        contiguity check, because those epochs' events are dropped by
+        the horizon filter and can never reach row-level apply."""
+        return int(self.properties().get("gc_horizon_epoch", -1))
 
     def commit_log(
         self,
@@ -881,6 +896,24 @@ class SnapshotTable:
             props["gc_horizon"] = max(
                 int(props.get("gc_horizon", 0)), int(tombstones_before)
             )
+            # gc_horizon_epoch: the highest epoch provably ENTIRELY
+            # below the horizon. When the in-band ledger is one
+            # contiguous range [b, w), every checkpoint last_lsn (and
+            # so any lwm-derived tombstones_before) is >= the first lsn
+            # of epoch b, and epochs are lsn-monotone slices — so all
+            # epochs < b sit wholly below the horizon. Fragmentation at
+            # or below this epoch is vacuous for future GC contiguity
+            # checks (a consumed fully-stale segment must not turn GC
+            # off forever). A gapped ledger (manual compact call) just
+            # leaves the stricter old value.
+            es_now = _epoch_set(props)
+            in_band = [r for r in es_now.ranges if r[0] < OUT_OF_BAND_EPOCH_BASE]
+            if es_now.contiguous_in_band(
+                above=int(props.get("gc_horizon_epoch", -1))
+            ) and in_band:
+                props["gc_horizon_epoch"] = max(
+                    int(props.get("gc_horizon_epoch", -1)), in_band[-1][0] - 1
+                )
         props["commits"] = props.get("commits", []) + [commit_info]
         self._ledger_rollup(props, snap.get("ledger_keep", LEDGER_KEEP_DEFAULT))
         new = dict(snap)
@@ -947,6 +980,7 @@ class SnapshotTable:
         max_delta_ratio: float | None = 0.5,
         tombstone_ratio: float | None = None,
         tombstone_before: int | None = None,
+        tombstone_stats_precomputed: dict[int, dict] | None = None,
     ) -> list[int]:
         """Buckets whose MoR delta chain warrants compaction: chain depth
         ≥ ``max_chain`` files, OR delta bytes ≥ ``max_delta_ratio`` ×
@@ -995,7 +1029,15 @@ class SnapshotTable:
             if dbytes >= max_delta_ratio * max(1, bbytes):
                 todo.add(int(b))
         if tombstone_ratio is not None and tombstone_before is not None:
-            for b, st in self.tombstone_stats(before_lsn=tombstone_before).items():
+            # callers that already ran the (cluster-job) aggregation for
+            # the same mark pass it in; the threshold predicate lives
+            # here either way — one source of truth
+            stats = (
+                tombstone_stats_precomputed
+                if tombstone_stats_precomputed is not None
+                else self.tombstone_stats(before_lsn=tombstone_before)
+            )
+            for b, st in stats.items():
                 if st["dead"] > 0 and st["dead"] >= tombstone_ratio * max(1, st["rows"]):
                     todo.add(int(b))
         return sorted(todo)

@@ -695,6 +695,26 @@ def test_gc_horizon_blocks_stale_resurrection(spark, tmp_path):
     # same segment is a wholesale skip, not an endless re-drop
     assert Replayer(table).run(stale).epochs_skipped == 1
 
+    # consuming the stale segment left explicit={50} BELOW the applied
+    # range — but 50 <= gc_horizon_epoch (everything under the range
+    # base is provably sub-horizon), so the fragmentation is vacuous
+    # and the GC cadence must KEEP firing on later delete-bearing
+    # epochs instead of reading the ledger as gapped forever
+    assert 50 in table.applied_epochs().explicit
+    assert table.gc_horizon_epoch() >= 50
+    cont = gen_changelog(
+        spark, n_docs=400, n_events=900, seed=92, epoch_size=150,
+        pct_insert=10, pct_delete=50, hot_frac=0.0, dup_epochs=(),
+    ).withColumn("epoch", F.col("epoch") + F.lit(110)).withColumn(
+        "lsn", F.col("lsn") + F.lit(10_000_000)
+    )
+    vers_before = table.snapshot()["version"]
+    Replayer(table, gc_every=3, gc_tombstone_ratio=0.05).run(cont)
+    assert [
+        c for c in table.commit_log()
+        if "gc_tombstones_before" in c and c["snapshot"] > vers_before
+    ], "a consumed stale segment disabled the GC cadence forever"
+
     # control: same stale event against a never-GC'd replica — the
     # surviving tombstone rejects it at row level (no horizon involved)
     ctl = SnapshotTable.create(
@@ -840,6 +860,9 @@ def test_spark_submit_py_files_end_to_end(tmp_path):
     assert second["epochs_applied"] == 0 and second["epochs_skipped"] == 4, second
     assert second["final_rows"] == first["final_rows"]
     assert second["snapshot"] == first["snapshot"]  # no new commits
-    # no launcher conf this time: shuffle sizing defaults to the REAL
-    # cluster parallelism (2 executors x 1 core), not the CPU env var
-    assert second["shuffle_partitions"] == 2, second
+    # no launcher conf this time: shuffle sizing keeps Spark's own
+    # default (200, AQE-coalesced at runtime) — NOT the CPU env var
+    # (32) and NOT a creation-time defaultParallelism read, which on an
+    # async-registering cluster (YARN/k8s) floors at 2 and would pin
+    # every shuffle of the job into two giant partitions
+    assert second["shuffle_partitions"] == 200, second
