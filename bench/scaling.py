@@ -444,7 +444,7 @@ policy serves is batch ≪ table. Raw runs: {raw}.
 
 **MoR scaling efficiency = ({tput_4n:,.0f} / {tput_n:,.0f}) / 4 = {eff:.3f}**
 (target >= 0.8) — {"PASS" if eff >= 0.8 else "FAIL"}.
-{_amdahl_md(best_prof, n, four_n)}"""
+{_amdahl_md(best_prof, n, four_n)}{curve_md}"""
         )
         _write_report(out_path, updates={mode: section})
     print(f"wrote {out_path}")
